@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.rules.PiiRules
+
+/**
+ * Text normalization, reproducing the reference's exact cleaning order:
+ *
+ *  1. whitespace collapse + trim  — `body.rstrip()` then
+ *     `" ".join(text.split())` (api/scraper.py:56-57)
+ *  2. literal `&amp;#x200B;` removal (api/scraper.py:58) — AFTER the
+ *     collapse, so a surviving double-space is faithful to the reference
+ *  3. HTML tag strip `<.*?>` at analysis time (sentiment.py:189,205) —
+ *     applied last, again without re-collapsing whitespace
+ *
+ * All three are single codegen'd `RegExpReplace`/`StringTrim` expressions;
+ * patterns are foldable literals so the compiled `Pattern` is cached in
+ * generated code.
+ */
+object Clean {
+
+  /** Steps 1-2: the scrape-time normalization. */
+  def scrapeClean(raw: Column): Column =
+    regexp_replace(
+      trim(regexp_replace(raw, "\\s+", " ")),
+      "&amp;#x200B;", "")
+
+  /** Step 3: analysis-time HTML strip (non-greedy, single pass). */
+  def stripHtml(text: Column): Column =
+    regexp_replace(text, "<.*?>", "")
+
+  /** Full chain raw → analysis-ready text. */
+  def cleanText(raw: Column): Column = stripHtml(scrapeClean(raw))
+
+  /** F1: drop rows whose scrape-cleaned text is empty (api/scraper.py:59). */
+  def nonEmpty(clean: Column): Column = clean =!= ""
+
+  /** F3 skip guard (sentiment.py:208-211): case-SENSITIVE substring —
+    * rows already containing the redaction marker are skipped before any
+    * analysis (idempotence). */
+  def isSkipped(clean: Column, skipText: String = PiiRules.RedactionMessage): Column =
+    clean.contains(lit(skipText))
+
+  /** F2 text_match filter (api/reddit.py:394-402): case-INSENSITIVE
+    * substring keep-filter. */
+  def textMatch(text: Column, query: String): Column =
+    lower(text).contains(lit(query.toLowerCase))
+}

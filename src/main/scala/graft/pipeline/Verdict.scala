@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.rules.{Pii, PiiRules}
+
+/**
+ * The flagship per-turn quality-filter pipeline: clean → skip-guard →
+ * PII scan → risk score → keep/drop → scrub, with full lineage columns.
+ *
+ * Reference semantics (see SURVEY.md §2):
+ *  - skip guard (F3, sentiment.py:208-211): rows already containing the
+ *    redaction marker are never analyzed — they pass through with
+ *    `skipped = true`, `keep = true`, text byte-identical (idempotence).
+ *  - keep/drop (F5, utils/panels.py:306-311): drop iff
+ *    `pii_risk_score > 0.5` (the llm term ORs in when the optional LLM
+ *    stage is joined — see [[graft.pipeline.LlmJoin]]).
+ *  - scrub (X8, api/reddit.py:286-292): whole-text replacement with the
+ *    standard message; never a partial edit. Rows with `keep = true` emit
+ *    text byte-identical to the cleaned input (BASELINE.json invariant).
+ *
+ * The whole thing is one narrow `select` chain of codegen'd expressions —
+ * no shuffle, no UDF on this path — so it scales linearly with input
+ * splits and Catalyst pushes partition-pruning filters beneath it.
+ */
+object Verdict {
+
+  /** Deterministic UUID-format scrub token (X8 `use_random_string` mode):
+    * the reference uses `uuid.uuid4()` (nondeterministic); we derive a
+    * version-4-shaped UUID from sha2(conv_id#turn_idx) so runs are
+    * reproducible — deviation documented in SURVEY.md §7.4. */
+  def deterministicUuid(convId: Column, turnIdx: Column): Column = {
+    val h = sha2(concat(convId, lit("#"), turnIdx.cast("string")), 256)
+    concat(
+      substring(h, 1, 8), lit("-"),
+      substring(h, 9, 4), lit("-4"),
+      substring(h, 14, 3), lit("-a"),
+      substring(h, 18, 3), lit("-"),
+      substring(h, 21, 12))
+  }
+
+  /**
+   * Adds the verdict columns to a transcript DataFrame
+   * (conv_id, turn_idx, role, text, tool, ts).
+   * Emitted columns: clean_text, skipped, pii_matches, pii_risk_score,
+   * keep, scrubbed_text.
+   */
+  def apply(transcripts: DataFrame,
+            skipText: String = PiiRules.RedactionMessage,
+            useRandomString: Boolean = false): DataFrame = {
+    val withClean = transcripts
+      .withColumn("clean_text", Clean.cleanText(col("text")))
+      .filter(Clean.nonEmpty(Clean.scrapeClean(col("text")))) // F1: pre-analysis empty drop
+      .withColumn("skipped", Clean.isSkipped(col("clean_text"), skipText))
+    val analyzed = withClean
+      .withColumn("pii_matches",
+        when(col("skipped"), array().cast(org.apache.spark.sql.types.ArrayType(Pii.piiMatchType)))
+          .otherwise(Pii.piiMatches(col("clean_text"))))
+      .withColumn("pii_risk_score",
+        when(col("skipped"), lit(0.0)).otherwise(Pii.piiRiskScore(col("pii_matches"))))
+    val scrubToken =
+      if (useRandomString) deterministicUuid(col("conv_id"), col("turn_idx"))
+      else lit(PiiRules.RedactionMessage)
+    analyzed
+      .withColumn("keep", col("skipped") || !(col("pii_risk_score") > PiiRules.DropThreshold))
+      .withColumn("scrubbed_text", when(col("keep"), col("clean_text")).otherwise(scrubToken))
+  }
+}
