@@ -34,8 +34,9 @@ object Oracle {
   def countSql(col: String, pattern: String): String =
     s"CASE WHEN skipped OR fp THEN 0 ELSE CAST(len(regexp_extract_all($col, '${PiiRules.ciPattern(pattern)}')) AS INT) END"
 
-  /** SELECT-list fragments: skipped, fp, boost, n_<type>…, pii_risk_score
-    * (rounded to 6dp to absorb summation-order ULP noise vs Spark). */
+  /** SELECT-list fragments: skipped, fp, boost, n_<type>…, risk_raw
+    * (rounded only at query boundaries, to absorb summation-order ULP
+    * noise vs Spark). Uses DuckDB lateral column aliases. */
   def piiSelectSql(cleanCol: String): String = {
     val counts = PiiRules.Patterns.map { case (t, p, _) =>
       s"${countSql(cleanCol, p)} AS n_$t"
@@ -53,46 +54,111 @@ object Oracle {
        |    CASE WHEN ($tw) = 0 THEN 0.0 ELSE least(1.0, ($ws) / ($tw)) END AS risk_raw""".stripMargin
   }
 
-  /** Full per-turn PII oracle over the documents-derived transcripts. */
-  val piiRiskQuery: String =
+  /** Shared CTE chain: documents → transcripts → clean → scored → verdict.
+    * Every oracle query is a short SELECT over `verdict`. */
+  val verdictCte: String =
     s"""${Transcripts.oracleCte},
        |clean AS (
-       |  SELECT conv_id, turn_idx, ${cleanSql("text")} AS clean_text
+       |  SELECT conv_id, turn_idx, role, tool, ${cleanSql("text")} AS clean_text
        |  FROM transcripts
        |  WHERE ${scrapeCleanSql("text")} <> ''
        |),
        |scored AS (
-       |  SELECT conv_id, turn_idx,
+       |  SELECT conv_id, turn_idx, role, tool, clean_text,
        |    ${piiSelectSql("clean_text")}
        |  FROM clean
-       |)
+       |),
+       |verdict AS (
+       |  SELECT *,
+       |    (skipped OR NOT (risk_raw > ${PiiRules.DropThreshold})) AS keep,
+       |    CASE WHEN (skipped OR NOT (risk_raw > ${PiiRules.DropThreshold}))
+       |         THEN clean_text ELSE '${PiiRules.RedactionMessage}' END AS scrubbed_text
+       |  FROM scored
+       |)""".stripMargin
+
+  val cleanQuery: String =
+    s"""$verdictCte
+       |SELECT conv_id, turn_idx, role, tool, clean_text FROM clean""".stripMargin
+
+  val piiRiskQuery: String =
+    s"""$verdictCte
        |SELECT conv_id, turn_idx, skipped, fp, boost,
        |  ${PiiRules.Patterns.map { case (t, _, _) => s"n_$t" }.mkString(", ")},
        |  round(risk_raw, 6) AS pii_risk_score
-       |FROM scored""".stripMargin
-
-  val cleanQuery: String =
-    s"""${Transcripts.oracleCte}
-       |SELECT conv_id, turn_idx, role, tool, ${cleanSql("text")} AS clean_text
-       |FROM transcripts
-       |WHERE ${scrapeCleanSql("text")} <> ''""".stripMargin
+       |FROM verdict""".stripMargin
 
   val keepDropQuery: String =
-    s"""${Transcripts.oracleCte},
-       |clean AS (
-       |  SELECT conv_id, turn_idx, ${cleanSql("text")} AS clean_text
-       |  FROM transcripts
-       |  WHERE ${scrapeCleanSql("text")} <> ''
-       |),
-       |scored AS (
-       |  SELECT conv_id, turn_idx, clean_text,
-       |    ${piiSelectSql("clean_text")}
-       |  FROM clean
-       |)
-       |SELECT conv_id, turn_idx, skipped,
-       |  (skipped OR NOT (risk_raw > ${PiiRules.DropThreshold})) AS keep,
-       |  CASE WHEN (skipped OR NOT (risk_raw > ${PiiRules.DropThreshold}))
-       |       THEN clean_text
-       |       ELSE '${PiiRules.RedactionMessage}' END AS scrubbed_text
-       |FROM scored""".stripMargin
+    s"""$verdictCte
+       |SELECT conv_id, turn_idx, skipped, keep, scrubbed_text FROM verdict""".stripMargin
+
+  /** F4 pii_only display filter (utils/report.py:50-63; LLM term absent
+    * when the LLM stage is off, as in the reference default). */
+  val piiOnlyQuery: String =
+    s"""$verdictCte
+       |SELECT conv_id, turn_idx, round(risk_raw, 6) AS pii_risk_score
+       |FROM verdict WHERE NOT skipped AND risk_raw > 0.0""".stripMargin
+
+  /** F6 risk bands (ui/details_screen.py:121-128; utils/base.py:14-21). */
+  val riskBandQuery: String =
+    s"""$verdictCte
+       |SELECT conv_id, turn_idx,
+       |  CASE WHEN risk_raw > 0.7 THEN 'high' WHEN risk_raw > 0.4 THEN 'medium' ELSE 'low' END AS band_ui,
+       |  CASE WHEN risk_raw > 0.5 THEN 'red' WHEN risk_raw > 0.2 THEN 'yellow' ELSE 'green' END AS band_table
+       |FROM verdict""".stripMargin
+
+  /** O3 riskiest turn: deterministic equivalent of the reference's
+    * first-seen strict max, with the 100-char preview (report.py:156-183). */
+  val topRiskyQuery: String =
+    s"""$verdictCte
+       |SELECT conv_id, turn_idx, round(risk_raw, 6) AS pii_risk_score,
+       |  CASE WHEN length(clean_text) > 100 THEN substr(clean_text, 1, 100) || '...'
+       |       ELSE clean_text END AS riskiest_preview
+       |FROM verdict WHERE NOT skipped
+       |ORDER BY risk_raw DESC, conv_id ASC, turn_idx ASC LIMIT 1""".stripMargin
+
+  /** F2 case-insensitive substring keep-filter (api/reddit.py:394-402). */
+  def textMatchQuery(q: String): String =
+    s"""$verdictCte
+       |SELECT conv_id, turn_idx FROM verdict
+       |WHERE contains(lower(clean_text), '${q.toLowerCase}')""".stripMargin
+
+  /** X10 table preview truncation (utils/tables.py:27). */
+  val previewQuery: String =
+    s"""$verdictCte
+       |SELECT conv_id, turn_idx,
+       |  CASE WHEN length(clean_text) > 70 THEN substr(clean_text, 1, 67) || '...'
+       |       ELSE clean_text END AS preview
+       |FROM verdict""".stripMargin
+
+  /** A3/A5 global metrics (sentiment column omitted — not SQL-expressible;
+    * covered by the rows-only q_sentiment_agg). */
+  val metricsQuery: String =
+    s"""$verdictCte
+       |SELECT
+       |  count(*) AS total_turns,
+       |  CAST(sum(CASE WHEN skipped THEN 1 ELSE 0 END) AS BIGINT) AS skipped_turns,
+       |  CAST(sum(CASE WHEN NOT skipped THEN 1 ELSE 0 END) AS BIGINT) AS processed_turns,
+       |  CAST(sum(CASE WHEN NOT skipped AND risk_raw > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS total_pii_turns,
+       |  CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS dropped_turns,
+       |  round(max(risk_raw), 6) AS max_risk_score
+       |FROM verdict""".stripMargin
+
+  /** A7-style per-conversation rollup (counts only — SQL-expressible part). */
+  val convRollupQuery: String =
+    s"""$verdictCte
+       |SELECT conv_id,
+       |  count(*) AS turns,
+       |  CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+       |  CAST(sum(CASE WHEN risk_raw > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS pii_turns,
+       |  round(max(risk_raw), 6) AS max_risk
+       |FROM verdict GROUP BY conv_id""".stripMargin
+
+  /** X8 deterministic-UUID scrub mode (uuid4-shaped, sha256-derived). */
+  val scrubUuidQuery: String =
+    s"""$verdictCte
+       |SELECT conv_id, turn_idx,
+       |  CASE WHEN keep THEN clean_text ELSE
+       |    substr(h,1,8) || '-' || substr(h,9,4) || '-4' || substr(h,14,3) || '-a' || substr(h,18,3) || '-' || substr(h,21,12)
+       |  END AS scrubbed_text
+       |FROM (SELECT *, sha256(conv_id || '#' || CAST(turn_idx AS VARCHAR)) AS h FROM verdict)""".stripMargin
 }

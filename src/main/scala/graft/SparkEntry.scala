@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.Verdict
+import graft.pipeline.{Metrics, Verdict}
 import graft.rules.{Pii, PiiRules}
 import graft.sources.Transcripts
 
@@ -48,12 +48,80 @@ object SparkEntry {
     // F5 + X8: keep/drop decision + whole-text scrub
     "q_keep_drop" -> ((s, dir) =>
       Verdict(transcripts(s, dir))
-        .select("conv_id", "turn_idx", "skipped", "keep", "scrubbed_text"))
+        .select("conv_id", "turn_idx", "skipped", "keep", "scrubbed_text")),
+    // X8 deterministic-UUID scrub mode
+    "q_scrub_uuid" -> ((s, dir) =>
+      Verdict(transcripts(s, dir), useRandomString = true)
+        .select("conv_id", "turn_idx", "scrubbed_text")),
+    // X1 + X2: VADER sentiment + label (no SQL oracle — rows-only check)
+    "q_sentiment" -> ((s, dir) =>
+      Verdict(transcripts(s, dir))
+        .select("conv_id", "turn_idx", "sentiment_score", "sentiment_label")),
+    // A1 + A2: overall sentiment (banker's-rounded avg over processed rows)
+    "q_sentiment_agg" -> ((s, dir) => {
+      val v = Verdict(transcripts(s, dir)).filter(!col("skipped"))
+      v.agg(bround(avg("sentiment_score"), 4).as("overall_sentiment"))
+        .withColumn("overall_label", graft.functions.VaderUdf.label(col("overall_sentiment")))
+    }),
+    // F4: pii_only display filter
+    "q_pii_only" -> ((s, dir) =>
+      Verdict(transcripts(s, dir))
+        .filter(!col("skipped") && col("pii_risk_score") > 0.0)
+        .select(col("conv_id"), col("turn_idx"),
+          round(col("pii_risk_score"), 6).as("pii_risk_score"))),
+    // F6: risk band classification (both reference band schemes)
+    "q_risk_band" -> ((s, dir) =>
+      Verdict(transcripts(s, dir)).select(
+        col("conv_id"), col("turn_idx"),
+        when(col("pii_risk_score") > 0.7, "high")
+          .when(col("pii_risk_score") > 0.4, "medium").otherwise("low").as("band_ui"),
+        when(col("pii_risk_score") > 0.5, "red")
+          .when(col("pii_risk_score") > 0.2, "yellow").otherwise("green").as("band_table"))),
+    // O3: riskiest turn (deterministic argmax + 100-char preview)
+    "q_top_risky" -> ((s, dir) =>
+      Metrics.riskiest(Verdict(transcripts(s, dir)))
+        .withColumn("pii_risk_score", round(col("pii_risk_score"), 6))),
+    // F2: case-insensitive substring keep-filter
+    "q_text_match" -> ((s, dir) =>
+      Verdict(transcripts(s, dir))
+        .filter(pipeline.Clean.textMatch(col("clean_text"), "Merge"))
+        .select("conv_id", "turn_idx")),
+    // X10: preview truncation
+    "q_preview" -> ((s, dir) =>
+      Verdict(transcripts(s, dir)).select(
+        col("conv_id"), col("turn_idx"),
+        when(length(col("clean_text")) > 70,
+          concat(substring(col("clean_text"), 1, 67), lit("...")))
+          .otherwise(col("clean_text")).as("preview"))),
+    // A3/A5: global metrics row
+    "q_metrics" -> ((s, dir) =>
+      Metrics.summary(Verdict(transcripts(s, dir)))
+        .select(col("total_turns"), col("skipped_turns"), col("processed_turns"),
+          col("total_pii_turns"), col("dropped_turns"),
+          round(col("max_risk_score"), 6).as("max_risk_score"))),
+    // A6: displayed-rows average (post-F4 denominator; rows-only check)
+    "q_displayed_avg" -> ((s, dir) =>
+      Metrics.displayedAvgSentiment(Verdict(transcripts(s, dir)))),
+    // A7: per-conversation rollup (counts; one shuffled row per conv)
+    "q_conv_rollup" -> ((s, dir) =>
+      Verdict(transcripts(s, dir)).groupBy("conv_id").agg(
+        count(lit(1)).as("turns"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("dropped"),
+        sum(when(col("pii_risk_score") > 0.0, 1L).otherwise(0L)).as("pii_turns"),
+        round(max("pii_risk_score"), 6).as("max_risk")))
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_clean" -> Oracle.cleanQuery,
     "q_pii_risk" -> Oracle.piiRiskQuery,
-    "q_keep_drop" -> Oracle.keepDropQuery
+    "q_keep_drop" -> Oracle.keepDropQuery,
+    "q_scrub_uuid" -> Oracle.scrubUuidQuery,
+    "q_pii_only" -> Oracle.piiOnlyQuery,
+    "q_risk_band" -> Oracle.riskBandQuery,
+    "q_top_risky" -> Oracle.topRiskyQuery,
+    "q_text_match" -> Oracle.textMatchQuery("Merge"),
+    "q_preview" -> Oracle.previewQuery,
+    "q_metrics" -> Oracle.metricsQuery,
+    "q_conv_rollup" -> Oracle.convRollupQuery
   )
 }

@@ -62,6 +62,10 @@ object Verdict {
       if (useRandomString) deterministicUuid(col("conv_id"), col("turn_idx"))
       else lit(PiiRules.RedactionMessage)
     analyzed
+      .withColumn("sentiment_score",
+        when(col("skipped"), lit(0.0))
+          .otherwise(graft.functions.VaderUdf.compound(col("clean_text"))))
+      .withColumn("sentiment_label", graft.functions.VaderUdf.label(col("sentiment_score")))
       .withColumn("keep", col("skipped") || !(col("pii_risk_score") > PiiRules.DropThreshold))
       .withColumn("scrubbed_text", when(col("keep"), col("clean_text")).otherwise(scrubToken))
   }

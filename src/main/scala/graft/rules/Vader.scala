@@ -1,0 +1,606 @@
+package graft.rules
+
+import scala.math.{abs, sqrt}
+
+/**
+ * VADER sentiment (Hutto & Gilbert 2014) reimplemented in pure Scala,
+ * following the exact control flow of the implementation the reference
+ * calls (`nltk.sentiment.vader.SentimentIntensityAnalyzer`, used at
+ * sentiment.py:183,217-218 — only the `compound` field is consumed).
+ *
+ * Algorithm fidelity notes (deliberately reproduced quirks):
+ *  - token lookup uses the FIRST occurrence index of a repeated token
+ *    (Python `list.index`), so duplicated words share the first word's
+ *    context window;
+ *  - the but-check rescales via first-index-of-value, so duplicate
+ *    sentiment values can be double-scaled (faithful to the original);
+ *  - tokens of length <= 1 are dropped before scoring;
+ *  - only one layer of known punctuation is stripped from a token
+ *    ("FUNNY!!!" -> "FUNNY" but "good!!!!" survives unstripped and
+ *    misses the lexicon).
+ *
+ * The lexicon is an embedded curated subset of the published
+ * vader_lexicon (MIT); the full 7.5k-entry file is not redistributable
+ *  inside this sandbox (zero egress). Values follow the published means
+ * where known; the subset covers conversational English. Swapping in
+ * the full lexicon is a drop-in string replacement.
+ */
+object Vader {
+
+  val BIncr = 0.293
+  val BDecr = -0.293
+  val CIncr = 0.733
+  val NScalar = -0.74
+
+  val Negate: Set[String] = Set(
+    "aint", "arent", "cannot", "cant", "couldnt", "darent", "didnt", "doesnt",
+    "ain't", "aren't", "can't", "couldn't", "daren't", "didn't", "doesn't",
+    "dont", "hadnt", "hasnt", "havent", "isnt", "mightnt", "mustnt", "neither",
+    "don't", "hadn't", "hasn't", "haven't", "isn't", "mightn't", "mustn't",
+    "neednt", "needn't", "never", "none", "nope", "nor", "not", "nothing",
+    "nowhere", "oughtnt", "shant", "shouldnt", "uhuh", "wasnt", "werent",
+    "oughtn't", "shan't", "shouldn't", "uh-uh", "wasn't", "weren't", "without",
+    "wont", "wouldnt", "won't", "wouldn't", "rarely", "seldom", "despite")
+
+  val BoosterDict: Map[String, Double] = {
+    val incr = Seq("absolutely", "amazingly", "awfully", "completely",
+      "considerably", "decidedly", "deeply", "effing", "enormously",
+      "entirely", "especially", "exceptionally", "extremely", "fabulously",
+      "flipping", "flippin", "fricking", "frickin", "frigging", "friggin",
+      "fully", "fucking", "greatly", "hella", "highly", "hugely",
+      "incredibly", "intensely", "majorly", "more", "most", "particularly",
+      "purely", "quite", "really", "remarkably", "so", "substantially",
+      "thoroughly", "totally", "tremendously", "uber", "unbelievably",
+      "unusually", "utterly", "very")
+    val decr = Seq("almost", "barely", "hardly", "just enough", "kind of",
+      "kinda", "kindof", "kind-of", "less", "little", "marginal",
+      "marginally", "occasional", "occasionally", "partly", "scarce",
+      "scarcely", "slight", "slightly", "somewhat", "sort of", "sorta",
+      "sortof", "sort-of")
+    (incr.map(_ -> BIncr) ++ decr.map(_ -> BDecr)).toMap
+  }
+
+  val SpecialCaseIdioms: Map[String, Double] = Map(
+    "the shit" -> 3.0, "the bomb" -> 3.0, "bad ass" -> 1.5,
+    "yeah right" -> -2.0, "cut the mustard" -> 2.0,
+    "kiss of death" -> -1.5, "hand to mouth" -> -2.0)
+
+  val PuncList: Seq[String] = Seq(
+    ".", "!", "?", ",", ";", ":", "-", "'", "\"",
+    "!!", "!!!", "??", "???", "?!?", "!?!", "?!?!", "!?!?")
+
+  private val punctChars: Set[Char] = """!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~""".toSet
+
+  /** Curated subset of the published lexicon: `word value` per line. */
+  private val lexiconData: String = """
+    |good 1.9
+    |great 3.1
+    |greatest 3.2
+    |excellent 2.7
+    |awesome 3.1
+    |amazing 2.8
+    |fantastic 2.6
+    |wonderful 2.7
+    |perfect 2.7
+    |best 3.2
+    |better 1.9
+    |love 3.2
+    |loved 2.9
+    |loves 2.7
+    |lovely 2.8
+    |like 1.5
+    |liked 1.7
+    |likes 1.6
+    |enjoy 2.2
+    |enjoyed 2.3
+    |happy 2.7
+    |happier 2.4
+    |glad 2.0
+    |joy 2.8
+    |smile 2.0
+    |thanks 1.9
+    |thank 1.5
+    |thankful 2.1
+    |grateful 2.3
+    |appreciate 1.9
+    |appreciated 2.1
+    |win 2.8
+    |winner 2.8
+    |winning 2.4
+    |won 2.7
+    |success 2.7
+    |successful 2.6
+    |nice 1.8
+    |cool 1.3
+    |fun 2.3
+    |funny 1.9
+    |smart 1.7
+    |handsome 2.2
+    |clever 2.0
+    |brilliant 2.8
+    |beautiful 2.9
+    |super 2.9
+    |superb 3.0
+    |impressive 2.3
+    |helpful 1.8
+    |help 1.7
+    |helps 1.6
+    |helped 1.8
+    |hope 1.9
+    |hopeful 2.0
+    |yes 1.7
+    |yay 2.4
+    |wow 2.8
+    |lol 1.6
+    |haha 2.0
+    |hehe 1.5
+    |kudos 2.3
+    |congrats 2.4
+    |congratulations 2.7
+    |correct 1.8
+    |safe 1.9
+    |secure 1.5
+    |improved 2.0
+    |improvement 1.9
+    |improve 1.9
+    |gain 1.6
+    |gains 1.6
+    |benefit 1.9
+    |benefits 1.9
+    |positive 2.3
+    |easy 1.9
+    |easier 1.8
+    |resolve 1.6
+    |resolved 1.7
+    |pleased 2.2
+    |pleasure 2.5
+    |promising 1.8
+    |recommend 1.6
+    |recommended 1.7
+    |reliable 1.9
+    |trust 2.3
+    |trusted 2.1
+    |valuable 2.1
+    |agree 1.5
+    |agreed 1.4
+    |celebrate 2.7
+    |comfort 1.5
+    |confident 2.2
+    |delight 2.9
+    |delighted 2.8
+    |eager 1.5
+    |efficient 1.8
+    |elegant 2.1
+    |encourage 1.9
+    |excited 2.4
+    |exciting 2.2
+    |favorite 2.0
+    |friendly 2.2
+    |generous 2.3
+    |gentle 1.7
+    |genius 2.6
+    |gorgeous 2.9
+    |innovative 1.9
+    |inspiring 2.3
+    |interesting 1.7
+    |kind 2.4
+    |ok 1.2
+    |okay 0.9
+    |fine 0.8
+    |well 1.1
+    |bad -2.5
+    |worse -2.1
+    |worst -3.1
+    |terrible -2.4
+    |awful -2.2
+    |horrible -2.5
+    |hate -2.7
+    |hated -2.6
+    |hates -2.3
+    |dislike -1.6
+    |angry -2.3
+    |anger -2.7
+    |mad -2.0
+    |sad -2.1
+    |unhappy -2.1
+    |fail -2.5
+    |failed -2.3
+    |failure -2.5
+    |fails -2.3
+    |broken -1.9
+    |bug -1.3
+    |bugs -1.4
+    |error -1.7
+    |errors -1.8
+    |wrong -2.1
+    |problem -1.7
+    |problems -1.7
+    |issue -1.1
+    |issues -1.2
+    |crash -1.9
+    |crashed -2.0
+    |slow -1.1
+    |pain -2.2
+    |painful -2.4
+    |annoying -1.8
+    |annoyed -1.9
+    |frustrating -2.1
+    |frustrated -2.4
+    |ugly -2.1
+    |stupid -2.4
+    |dumb -2.3
+    |idiot -2.3
+    |sucks -1.5
+    |suck -1.5
+    |sux -1.5
+    |crap -1.6
+    |shit -2.6
+    |damn -1.5
+    |hell -1.4
+    |kill -3.7
+    |killed -3.4
+    |death -2.9
+    |die -2.9
+    |died -3.2
+    |dead -3.3
+    |worry -1.8
+    |worried -1.8
+    |worries -1.8
+    |fear -2.2
+    |afraid -2.2
+    |scared -2.2
+    |scary -2.2
+    |danger -2.4
+    |dangerous -2.3
+    |risk -1.1
+    |risky -1.4
+    |lose -1.9
+    |loss -1.3
+    |lost -1.3
+    |no -1.2
+    |disappointing -2.2
+    |disappointed -2.3
+    |disaster -3.1
+    |mess -1.5
+    |messy -1.3
+    |useless -1.8
+    |worthless -2.5
+    |boring -1.3
+    |bored -1.4
+    |tired -1.2
+    |sick -2.0
+    |abuse -3.2
+    |abandoned -2.0
+    |anxious -1.9
+    |argue -1.6
+    |argument -1.6
+    |arrogant -2.2
+    |ashamed -2.1
+    |attack -2.1
+    |awkward -1.2
+    |betray -3.0
+    |blame -1.4
+    |bleak -1.9
+    |bother -1.4
+    |cheat -2.5
+    |complain -1.6
+    |complaint -1.6
+    |confused -1.4
+    |cruel -2.8
+    |cry -2.0
+    |damage -2.2
+    |defeat -1.9
+    |denied -1.7
+    |deny -1.3
+    |depressed -2.6
+    |destroy -2.7
+    |difficult -1.5
+    |dirty -1.8
+    |disgusting -2.7
+    |distress -2.4
+    |doubt -1.4
+    |dreadful -2.8
+    |embarrassed -1.9
+    |enemy -2.4
+    |evil -3.4
+    |fake -1.8
+    |fatal -2.8
+    |fault -1.8
+    |fight -1.7
+    |fired -2.4
+    |fool -1.9
+    |foolish -1.9
+    |fraud -3.0
+    |grief -2.2
+    |gross -2.1
+    |guilty -2.0
+    |harm -2.5
+    |harsh -1.9
+    |hurt -2.4
+    |ignore -1.5
+    |ignored -1.6
+    |insult -2.3
+    |jealous -2.0
+    |junk -1.6
+    |lazy -1.6
+    |liar -2.9
+    |lie -1.8
+    |lonely -1.9
+    |miserable -2.8
+    |mistake -1.7
+    |mistakes -1.7
+    |nasty -2.6
+    |negative -2.2
+    |nervous -1.9
+    |offend -2.0
+    |panic -2.4
+    |pathetic -2.6
+    |poor -2.1
+    |punish -2.2
+    |regret -1.9
+    |reject -1.9
+    |rejected -2.1
+    |ridiculous -1.6
+    |rude -2.2
+    |ruin -2.4
+    |selfish -2.2
+    |severe -1.8
+    |shame -2.1
+    |sorry -0.6
+    |steal -2.7
+    |stress -1.8
+    |stressed -2.0
+    |struggle -1.9
+    |stuck -1.2
+    |suspicious -1.5
+    |threat -2.4
+    |tragic -2.9
+    |trouble -1.9
+    |unfair -2.2
+    |unfortunate -1.9
+    |upset -1.9
+    |violence -3.1
+    |warn -1.2
+    |warning -1.4
+    |waste -1.8
+    |weak -1.9
+    |weird -0.7
+    |whine -1.5
+    |:) 1.3
+    |:-) 1.3
+    |:D 2.3
+    |:( -1.3
+    |:-( -1.3
+    |;) 1.1
+    |:/ -0.7
+    """.stripMargin
+
+  val Lexicon: Map[String, Double] = lexiconData.linesIterator
+    .map(_.trim).filter(_.nonEmpty)
+    .map { line =>
+      val sp = line.lastIndexOf(' ')
+      line.substring(0, sp) -> line.substring(sp + 1).toDouble
+    }.toMap
+
+  /** Python str.isupper(): at least one cased char, all cased chars upper. */
+  private def isUpperPy(s: String): Boolean = {
+    var hasCased = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isUpper || c.isLower) {
+        hasCased = true
+        if (c.isLower) return false
+      }
+      i += 1
+    }
+    hasCased
+  }
+
+  /** SentiText tokenization: whitespace split, drop len<=1 tokens, strip
+    * exactly one known punctuation prefix/suffix when the bare word is a
+    * valid (len>1, punctuation-free) word of the text. */
+  private[rules] def wordsAndEmoticons(text: String): Array[String] = {
+    val wordsOnly: Set[String] =
+      text.filterNot(punctChars.contains).split("\\s+").filter(_.length > 1).toSet
+    def stripToken(t: String): String = {
+      // punc_after (word+punc) overrides punc_before (punc+word) on
+      // collision, matching the Python dict update order
+      val byPrefix = PuncList.collectFirst {
+        case p if t.length > p.length && t.startsWith(p) && wordsOnly(t.substring(p.length)) =>
+          t.substring(p.length)
+      }
+      val bySuffix = PuncList.collectFirst {
+        case p if t.length > p.length && t.endsWith(p) && wordsOnly(t.substring(0, t.length - p.length)) =>
+          t.substring(0, t.length - p.length)
+      }
+      bySuffix.orElse(byPrefix).getOrElse(t)
+    }
+    text.split("\\s+").filter(_.length > 1).map(stripToken)
+  }
+
+  private def allcapDifferential(words: Array[String]): Boolean = {
+    val allcap = words.count(isUpperPy)
+    val capDiff = words.length - allcap
+    capDiff > 0 && capDiff < words.length
+  }
+
+  private def negated(word: String): Boolean = {
+    val w = word.toLowerCase
+    Negate.contains(w) || w.contains("n't")
+  }
+
+  private def scalarIncDec(word: String, valence: Double, isCapDiff: Boolean): Double = {
+    BoosterDict.get(word.toLowerCase) match {
+      case None => 0.0
+      case Some(base) =>
+        var scalar = base
+        if (valence < 0) scalar *= -1
+        if (isUpperPy(word) && isCapDiff)
+          scalar += (if (valence > 0) CIncr else -CIncr)
+        scalar
+    }
+  }
+
+  private def neverCheck(valence0: Double, w: Array[String], startI: Int, i: Int): Double = {
+    var valence = valence0
+    if (startI == 0) {
+      if (negated(w(i - 1))) valence *= NScalar
+    }
+    if (startI == 1) {
+      if (w(i - 2) == "never" && (w(i - 1) == "so" || w(i - 1) == "this"))
+        valence *= 1.5
+      else if (negated(w(i - startI - 1))) valence *= NScalar
+    }
+    if (startI == 2) {
+      // faithful to the Python operator precedence:
+      // (never && (so||this at i-2)) || (so||this at i-1)
+      if ((w(i - 3) == "never" && (w(i - 2) == "so" || w(i - 2) == "this")) ||
+          (w(i - 1) == "so" || w(i - 1) == "this"))
+        valence *= 1.25
+      else if (negated(w(i - startI - 1))) valence *= NScalar
+    }
+    valence
+  }
+
+  private def idiomsCheck(valence0: Double, w: Array[String], i: Int): Double = {
+    var valence = valence0
+    def lw(j: Int) = w(j).toLowerCase
+    val oneZero = s"${lw(i - 1)} ${lw(i)}"
+    val twoOneZero = s"${lw(i - 2)} ${lw(i - 1)} ${lw(i)}"
+    val twoOne = s"${lw(i - 2)} ${lw(i - 1)}"
+    val threeTwoOne = s"${lw(i - 3)} ${lw(i - 2)} ${lw(i - 1)}"
+    val threeTwo = s"${lw(i - 3)} ${lw(i - 2)}"
+    val sequences = Seq(oneZero, twoOneZero, twoOne, threeTwoOne, threeTwo)
+    sequences.find(SpecialCaseIdioms.contains).foreach(s => valence = SpecialCaseIdioms(s))
+    if (w.length - 1 > i) {
+      val zeroOne = s"${lw(i)} ${lw(i + 1)}"
+      if (SpecialCaseIdioms.contains(zeroOne)) valence = SpecialCaseIdioms(zeroOne)
+    }
+    if (w.length - 1 > i + 1) {
+      val zeroOneTwo = s"${lw(i)} ${lw(i + 1)} ${lw(i + 2)}"
+      if (SpecialCaseIdioms.contains(zeroOneTwo)) valence = SpecialCaseIdioms(zeroOneTwo)
+    }
+    if (BoosterDict.contains(threeTwo) || BoosterDict.contains(twoOne))
+      valence += BDecr
+    valence
+  }
+
+  private def leastCheck(valence0: Double, w: Array[String], i: Int): Double = {
+    var valence = valence0
+    if (i > 1 && !Lexicon.contains(w(i - 1).toLowerCase) && w(i - 1).toLowerCase == "least") {
+      if (w(i - 2).toLowerCase != "at" && w(i - 2).toLowerCase != "very")
+        valence *= NScalar
+    } else if (i > 0 && !Lexicon.contains(w(i - 1).toLowerCase) && w(i - 1).toLowerCase == "least") {
+      valence *= NScalar
+    }
+    valence
+  }
+
+  private def sentimentValence(w: Array[String], isCapDiff: Boolean,
+                               item: String, i: Int): Double = {
+    val itemLower = item.toLowerCase
+    if (!Lexicon.contains(itemLower)) return 0.0
+    var valence = Lexicon(itemLower)
+    if (isUpperPy(item) && isCapDiff)
+      valence += (if (valence > 0) CIncr else -CIncr)
+    var startI = 0
+    while (startI < 3) {
+      if (i > startI && !Lexicon.contains(w(i - startI - 1).toLowerCase)) {
+        var s = scalarIncDec(w(i - startI - 1), valence, isCapDiff)
+        if (startI == 1 && s != 0) s *= 0.95
+        if (startI == 2 && s != 0) s *= 0.9
+        valence += s
+        valence = neverCheck(valence, w, startI, i)
+        if (startI == 2) valence = idiomsCheck(valence, w, i)
+      }
+      startI += 1
+    }
+    leastCheck(valence, w, i)
+  }
+
+  private def butCheck(w: Array[String], sentiments: Array[Double]): Array[Double] = {
+    val bi = {
+      val b = w.indexOf("but")
+      if (b >= 0) b else w.indexOf("BUT")
+    }
+    if (bi < 0) return sentiments
+    val buf = sentiments.clone()
+    var p = 0
+    while (p < buf.length) {
+      val v = buf(p)
+      val si = buf.indexOf(v) // first-index-of-value quirk, as in the original
+      if (si < bi) buf(si) = v * 0.5
+      else if (si > bi) buf(si) = v * 1.5
+      p += 1
+    }
+    buf
+  }
+
+  private def amplifyEp(text: String): Double = {
+    val epCount = math.min(text.count(_ == '!'), 4)
+    epCount * 0.292
+  }
+
+  private def amplifyQm(text: String): Double = {
+    val qmCount = text.count(_ == '?')
+    if (qmCount > 1) { if (qmCount <= 3) qmCount * 0.18 else 0.96 } else 0.0
+  }
+
+  private def normalize(score: Double, alpha: Double = 15.0): Double = {
+    val norm = score / sqrt(score * score + alpha)
+    if (norm < -1.0) -1.0 else if (norm > 1.0) 1.0 else norm
+  }
+
+  /** Banker's rounding, as Python round() used by the original. */
+  def roundHalfEven(x: Double, digits: Int): Double =
+    BigDecimal(x).setScale(digits, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+
+  case class Scores(neg: Double, neu: Double, pos: Double, compound: Double)
+
+  def polarityScores(text0: String): Scores = {
+    val text = if (text0 == null) "" else text0
+    val w = wordsAndEmoticons(text)
+    val isCapDiff = allcapDifferential(w)
+    val sentiments = new Array[Double](w.length)
+    var k = 0
+    while (k < w.length) {
+      val item = w(k)
+      val i = w.indexOf(item) // first-occurrence quirk, as in the original
+      val il = item.toLowerCase
+      val kindOf = i < w.length - 1 && il == "kind" && w(i + 1).toLowerCase == "of"
+      sentiments(k) =
+        if (kindOf || BoosterDict.contains(il)) 0.0
+        else sentimentValence(w, isCapDiff, item, i)
+      k += 1
+    }
+    val adjusted = butCheck(w, sentiments)
+    scoreValence(adjusted, text)
+  }
+
+  private def scoreValence(sentiments: Array[Double], text: String): Scores = {
+    if (sentiments.isEmpty) return Scores(0.0, 0.0, 0.0, 0.0)
+    var sumS = sentiments.sum
+    val punctEmph = amplifyEp(text) + amplifyQm(text)
+    if (sumS > 0) sumS += punctEmph else if (sumS < 0) sumS -= punctEmph
+    val compound = normalize(sumS)
+    var posSum = 0.0; var negSum = 0.0; var neuCount = 0.0
+    sentiments.foreach { s =>
+      if (s > 0) posSum += s + 1
+      else if (s < 0) negSum += s - 1
+      else neuCount += 1
+    }
+    var pos = posSum; var neg = negSum
+    if (posSum > abs(negSum)) pos += punctEmph
+    else if (posSum < abs(negSum)) neg -= punctEmph
+    val total = pos + abs(neg) + neuCount
+    Scores(
+      roundHalfEven(abs(neg / total), 3),
+      roundHalfEven(abs(neuCount / total), 3),
+      roundHalfEven(abs(pos / total), 3),
+      roundHalfEven(compound, 4))
+  }
+
+  /** The only field the reference consumes (sentiment.py:218). */
+  def compound(text: String): Double = polarityScores(text).compound
+}
