@@ -108,7 +108,21 @@ object SparkEntry {
         count(lit(1)).as("turns"),
         sum(when(!col("keep"), 1L).otherwise(0L)).as("dropped"),
         sum(when(col("pii_risk_score") > 0.0, 1L).otherwise(0L)).as("pii_turns"),
-        round(max("pii_risk_score"), 6).as("max_risk")))
+        round(max("pii_risk_score"), 6).as("max_risk"))),
+    // --- training-data pipeline: dedup / similarity / text analysis ---
+    "q_dedup_exact" -> (operators.Dedup.exact _),
+    "q_minhash_sig" -> (operators.Dedup.minhashSig _),
+    "q_minhash_pairs" -> (operators.Dedup.minhashPairs _),
+    "q_jaccard_adjacent" -> (operators.Dedup.jaccardAdjacent _),
+    "q_simhash" -> (operators.Dedup.simhash _),
+    "q_cosine_adjacent" -> (operators.Similarity.cosineAdjacent _),
+    "q_ann_topk" -> ((s, dir) => operators.Similarity.annTopK(s, dir)),
+    "q_lsh_buckets" -> (operators.Similarity.lshBuckets _),
+    "q_ann_lsh" -> ((s, dir) => operators.Similarity.annLsh(s, dir)),
+    "q_langid" -> (operators.TextStats.langId _),
+    "q_quality" -> (operators.TextStats.quality _),
+    "q_token_count" -> (operators.TextStats.tokenCount _),
+    "q_fingerprint" -> (operators.TextStats.fingerprint _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -122,6 +136,19 @@ object SparkEntry {
     "q_text_match" -> Oracle.textMatchQuery("Merge"),
     "q_preview" -> Oracle.previewQuery,
     "q_metrics" -> Oracle.metricsQuery,
-    "q_conv_rollup" -> Oracle.convRollupQuery
+    "q_conv_rollup" -> Oracle.convRollupQuery,
+    "q_dedup_exact" -> operators.Dedup.exactOracle,
+    "q_minhash_sig" -> operators.Dedup.minhashSigOracle,
+    "q_minhash_pairs" -> operators.Dedup.minhashPairsOracle,
+    "q_jaccard_adjacent" -> operators.Dedup.jaccardAdjacentOracle,
+    "q_simhash" -> operators.Dedup.simhashOracle,
+    "q_cosine_adjacent" -> operators.Similarity.cosineAdjacentOracle,
+    "q_ann_topk" -> operators.Similarity.annTopKOracle(),
+    "q_lsh_buckets" -> operators.Similarity.lshBucketsOracle,
+    "q_ann_lsh" -> operators.Similarity.annLshOracle(),
+    "q_langid" -> operators.TextStats.langIdOracle,
+    "q_quality" -> operators.TextStats.qualityOracle,
+    "q_token_count" -> operators.TextStats.tokenCountOracle,
+    "q_fingerprint" -> operators.TextStats.fingerprintOracle
   )
 }

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Text-analysis operators for the training-data pipeline: language-ID
+ * (stopword n-gram heuristic), quality scoring, token counting, and
+ * document fingerprinting (min char-shingle hash, winnowing-style).
+ * Each has an exact DuckDB oracle; all are pure map-side column work.
+ */
+object TextStats {
+
+  /** Embedded marker-word lists (distinct-hit scoring). Tiny on purpose:
+    * language-ID at scale swaps in a larger table broadcast to executors;
+    * the operator shape (tokenize → intersect → argmax) is what matters. */
+  val StopWords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "zu", "von", "mit", "auf",
+      "nicht", "ein", "eine", "ich", "sie"),
+    "en" -> Seq("the", "and", "is", "to", "of", "in", "that", "it", "was",
+      "for", "on", "with", "as", "at"),
+    "es" -> Seq("el", "los", "las", "es", "que", "un", "una", "por", "con",
+      "para", "como", "del", "se", "su"),
+    "fr" -> Seq("le", "les", "et", "est", "dans", "une", "pour", "avec",
+      "ne", "pas", "je", "vous", "ce", "qui"))
+
+  private val langs = StopWords.keys.toSeq.sorted // de, en, es, fr
+
+  private def litArr(ws: Seq[String], spark: Boolean): String =
+    if (spark) "array(" + ws.map(w => s"'$w'").mkString(", ") + ")"
+    else "[" + ws.map(w => s"'$w'").mkString(", ") + "]"
+
+  /** Distinct stopword hits per language; argmax with alphabetical
+    * preference on ties (score 0 everywhere ⇒ 'de' — deterministic). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scores = langs.map(l =>
+      s"size(array_intersect(toks, ${litArr(StopWords(l), spark = true)})) AS s_$l")
+    val pred =
+      s"""CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |  WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |  WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END""".stripMargin
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "array_distinct(split(lower(text), '\\\\s+')) AS toks")
+      .selectExpr(Seq("doc_id") ++ scores: _*)
+      .selectExpr("doc_id", s"$pred AS lang_pred",
+        "greatest(s_de, s_en, s_es, s_fr) AS n_hits")
+  }
+
+  val langIdOracle: String = {
+    val scores = langs.map(l =>
+      s"len(list_intersect(toks, ${litArr(StopWords(l), spark = false)})) AS s_$l").mkString(",\n    ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS toks
+       |  FROM documents
+       |), scored AS (
+       |  SELECT doc_id,
+       |    $scores
+       |  FROM toks
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |    WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred,
+       |  CAST(greatest(s_de, s_en, s_es, s_fr) AS INT) AS n_hits
+       |FROM scored""".stripMargin
+  }
+
+  /** Quality scoring: token count, mean token length, digit ratio,
+    * stopword ratio → composite in [0,1] + keep flag. The formula is the
+    * engine's own (the reference has no text-quality scorer); it follows
+    * the usual length/stopword/digit heuristics. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val en = litArr(StopWords("en"), spark = true)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "text", "split(text, '\\\\s+') AS t")
+      .selectExpr("doc_id",
+        "size(t) AS n_tokens",
+        "round(length(replace(text, ' ', '')) / CAST(size(t) AS DOUBLE), 6) AS mean_tok_len",
+        "round(length(regexp_replace(text, '[^0-9]', '')) / CAST(length(text) AS DOUBLE), 6) AS digit_ratio",
+        s"size(array_intersect(array_distinct(transform(t, x -> lower(x))), $en)) AS stop_hits")
+      .selectExpr("doc_id", "n_tokens", "mean_tok_len", "digit_ratio", "stop_hits",
+        "round(0.4 * least(1.0, n_tokens / 50.0) + 0.3 * (1.0 - digit_ratio) + 0.3 * least(1.0, stop_hits / 8.0), 6) AS quality_score")
+      .selectExpr("doc_id", "n_tokens", "mean_tok_len", "digit_ratio", "stop_hits",
+        "quality_score", "quality_score > 0.5 AND n_tokens >= 5 AS pass")
+  }
+
+  val qualityOracle: String = {
+    val en = litArr(StopWords("en"), spark = false)
+    s"""WITH base AS (
+       |  SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS t FROM documents
+       |), stats AS (
+       |  SELECT doc_id,
+       |    CAST(len(t) AS INT) AS n_tokens,
+       |    round(length(replace(text, ' ', '')) / CAST(len(t) AS DOUBLE), 6) AS mean_tok_len,
+       |    round(length(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(length(text) AS DOUBLE), 6) AS digit_ratio,
+       |    CAST(len(list_intersect(list_distinct(list_transform(t, x -> lower(x))), $en)) AS INT) AS stop_hits
+       |  FROM base
+       |), q AS (
+       |  SELECT *,
+       |    round(0.4 * least(1.0, n_tokens / 50.0) + 0.3 * (1.0 - digit_ratio) + 0.3 * least(1.0, stop_hits / 8.0), 6) AS quality_score
+       |  FROM stats
+       |)
+       |SELECT doc_id, n_tokens, mean_tok_len, digit_ratio, stop_hits, quality_score,
+       |  (quality_score > 0.5 AND n_tokens >= 5) AS pass
+       |FROM q""".stripMargin
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs / digit runs / single punctuation marks). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id",
+        "size(split(text, '\\\\s+')) AS ws_tokens",
+        "size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)) AS regex_tokens")
+
+  val tokenCountOracle: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(text, '\s+')) AS INT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS regex_tokens
+      |FROM documents""".stripMargin
+
+  /** Fingerprinting: full-content md5 plus a winnowing-style min hash
+    * over character 8-grams (robust to local edits). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id",
+        "md5(text) AS content_md5",
+        """CASE WHEN length(text) >= 8
+          |  THEN array_min(transform(sequence(1, length(text) - 7), i -> substr(md5(substr(text, i, 8)), 1, 16)))
+          |  ELSE substr(md5(text), 1, 16) END AS min_shingle_hash""".stripMargin)
+
+  val fingerprintOracle: String =
+    """SELECT doc_id,
+      |  md5(text) AS content_md5,
+      |  CASE WHEN length(text) >= 8
+      |    THEN list_min(list_transform(generate_series(1, length(text) - 7), i -> substr(md5(substr(text, i, 8)), 1, 16)))
+      |    ELSE substr(md5(text), 1, 16) END AS min_shingle_hash
+      |FROM documents""".stripMargin
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.operators.{Dedup, Similarity, TextStats}
+
+/**
+ * Invariant checks for the training-data operators at sf0.001. Exact
+ * value equality is enforced by the DuckDB oracle gate (graft.Verify);
+ * these assert the structural properties the oracle can't see.
+ */
+class OperatorsSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("exact dedup: content hash is a bijection on this all-distinct corpus") {
+    val d = Dedup.exact(spark, dir)
+    d.count() shouldBe 500
+    d.agg(max("n_dups")).head().getLong(0) shouldBe 1L
+  }
+
+  test("minhash signatures: 32 components, stable across runs") {
+    val a = Dedup.minhashSig(spark, dir).orderBy("doc_id").head(3)
+    val b = Dedup.minhashSig(spark, dir).orderBy("doc_id").head(3)
+    a.map(_.getString(1)) shouldBe b.map(_.getString(1))
+    all(a.map(_.getString(1).split(",").length)) shouldBe Dedup.NumHashes
+  }
+
+  test("LSH candidate pairs carry true jaccard in (0, 1]") {
+    val rows = Dedup.minhashPairs(spark, dir).collect()
+    all(rows.map(_.getDouble(2))) should (be > 0.0 and be <= 1.0)
+    rows.foreach(r => r.getLong(0) should be < r.getLong(1))
+  }
+
+  test("adjacent jaccard: symmetric-set measure stays in [0, 1]") {
+    val rows = Dedup.jaccardAdjacent(spark, dir).collect()
+    rows.length should be >= 490
+    all(rows.map(_.getDouble(2))) should (be >= 0.0 and be <= 1.0)
+  }
+
+  test("simhash fits in 16 bits and identical docs collide") {
+    val rows = Dedup.simhash(spark, dir).collect()
+    all(rows.map(_.getInt(1))) should (be >= 0 and be < 65536)
+  }
+
+  test("ANN brute-force top-k: k rows, descending, self excluded") {
+    val rows = Similarity.annTopK(spark, dir).collect()
+    rows.length shouldBe 10
+    rows.map(_.getDouble(1)).toSeq shouldBe rows.map(_.getDouble(1)).sorted.reverse.toSeq
+    rows.map(_.getLong(0)) should not contain 0L
+  }
+
+  test("ANN LSH results are a subset of a large brute-force ranking") {
+    val brute = Similarity.annTopK(spark, dir, k = 499)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = Similarity.annLsh(spark, dir).collect()
+    lsh.foreach { r =>
+      brute(r.getLong(0)) shouldBe r.getDouble(1) +- 1e-9 // same scoring kernel
+    }
+  }
+
+  test("langid picks a language with a deterministic tiebreak") {
+    val rows = TextStats.langId(spark, dir).collect()
+    rows.length shouldBe 500
+    all(rows.map(_.getString(1))) should (be("de") or be("en") or be("es") or be("fr"))
+  }
+
+  test("quality score is bounded and pass implies the component gates") {
+    val rows = TextStats.quality(spark, dir).collect()
+    all(rows.map(_.getAs[Double]("quality_score"))) should (be >= 0.0 and be <= 1.0)
+    rows.filter(_.getAs[Boolean]("pass")).foreach { r =>
+      r.getAs[Double]("quality_score") should be > 0.5
+      r.getAs[Int]("n_tokens") should be >= 5
+    }
+  }
+
+  test("token counts: regex segmentation never undercounts whitespace tokens") {
+    TextStats.tokenCount(spark, dir)
+      .filter(col("regex_tokens") < col("ws_tokens")).count() shouldBe 0L
+  }
+
+  test("fingerprint: min shingle hash is order-insensitive to duplicates and stable") {
+    val a = TextStats.fingerprint(spark, dir).orderBy("doc_id").head(5)
+    val b = TextStats.fingerprint(spark, dir).orderBy("doc_id").head(5)
+    a.map(_.getString(2)) shouldBe b.map(_.getString(2))
+  }
+}
