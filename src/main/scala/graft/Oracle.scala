@@ -34,10 +34,9 @@ object Oracle {
   def countSql(col: String, pattern: String): String =
     s"CASE WHEN skipped OR fp THEN 0 ELSE CAST(len(regexp_extract_all($col, '${PiiRules.ciPattern(pattern)}')) AS INT) END"
 
-  /** SELECT-list fragments: skipped, fp, boost, n_<type>…, risk_raw
-    * (rounded only at query boundaries, to absorb summation-order ULP
-    * noise vs Spark). Uses DuckDB lateral column aliases. */
-  def piiSelectSql(cleanCol: String): String = {
+  /** Count + weighted-risk fragments; assumes `skipped`, `fp`, `boost`
+    * columns are already in scope (lateral aliases or an outer CTE). */
+  def countsRiskSql(cleanCol: String): String = {
     val counts = PiiRules.Patterns.map { case (t, p, _) =>
       s"${countSql(cleanCol, p)} AS n_$t"
     }.mkString(",\n    ")
@@ -47,12 +46,18 @@ object Oracle {
     val ws = PiiRules.Patterns.map { case (t, _, c) =>
       s"n_$t * least(1.0, $c + CASE WHEN boost THEN ${PiiRules.ContextBoost} ELSE 0.0 END) * ${PiiRules.TypeWeights(t)}"
     }.mkString(" + ")
+    s"""$counts,
+       |    CASE WHEN ($tw) = 0 THEN 0.0 ELSE least(1.0, ($ws) / ($tw)) END AS risk_raw""".stripMargin
+  }
+
+  /** SELECT-list fragments: skipped, fp, boost, n_<type>…, risk_raw
+    * (rounded only at query boundaries, to absorb summation-order ULP
+    * noise vs Spark). Uses DuckDB lateral column aliases. */
+  def piiSelectSql(cleanCol: String): String =
     s"""${skippedSql(cleanCol)} AS skipped,
        |    ${fpSql(cleanCol)} AS fp,
        |    ${boostSql(cleanCol)} AS boost,
-       |    $counts,
-       |    CASE WHEN ($tw) = 0 THEN 0.0 ELSE least(1.0, ($ws) / ($tw)) END AS risk_raw""".stripMargin
-  }
+       |    ${countsRiskSql(cleanCol)}""".stripMargin
 
   /** Shared CTE chain: documents → transcripts → clean → scored → verdict.
     * Every oracle query is a short SELECT over `verdict`. */
@@ -152,6 +157,47 @@ object Oracle {
        |  CAST(sum(CASE WHEN risk_raw > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS pii_turns,
        |  round(max(risk_raw), 6) AS max_risk
        |FROM verdict GROUP BY conv_id""".stripMargin
+
+  /** Cross-turn context boost (conversation layer): a keyword in turn
+    * t-1 of the same conversation boosts turn t too. */
+  val convBoostQuery: String =
+    s"""${Transcripts.oracleCte},
+       |clean AS (
+       |  SELECT conv_id, turn_idx, ${cleanSql("text")} AS clean_text
+       |  FROM transcripts
+       |  WHERE ${scrapeCleanSql("text")} <> ''
+       |),
+       |flags AS (
+       |  SELECT conv_id, turn_idx, clean_text,
+       |    ${skippedSql("clean_text")} AS skipped,
+       |    ${fpSql("clean_text")} AS fp,
+       |    ${boostSql("clean_text")} AS own_boost
+       |  FROM clean
+       |),
+       |boosted AS (
+       |  SELECT *, (own_boost OR coalesce(
+       |      lag(own_boost) OVER (PARTITION BY conv_id ORDER BY turn_idx), false)) AS boost
+       |  FROM flags
+       |),
+       |scored AS (
+       |  SELECT conv_id, turn_idx, skipped, boost,
+       |    ${countsRiskSql("clean_text")}
+       |  FROM boosted
+       |)
+       |SELECT conv_id, turn_idx, boost AS boost_any,
+       |  round(risk_raw, 6) AS pii_risk_score,
+       |  (skipped OR NOT (risk_raw > ${PiiRules.DropThreshold})) AS keep
+       |FROM scored""".stripMargin
+
+  /** Per-conversation running state under stable turn order. */
+  val convRunningQuery: String =
+    s"""$verdictCte
+       |SELECT conv_id, turn_idx,
+       |  CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS INT) AS rn,
+       |  CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY conv_id ORDER BY turn_idx
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_dropped
+       |FROM verdict""".stripMargin
 
   /** X8 deterministic-UUID scrub mode (uuid4-shaped, sha256-derived). */
   val scrubUuidQuery: String =

@@ -109,6 +109,19 @@ object SparkEntry {
         sum(when(!col("keep"), 1L).otherwise(0L)).as("dropped"),
         sum(when(col("pii_risk_score") > 0.0, 1L).otherwise(0L)).as("pii_turns"),
         round(max("pii_risk_score"), 6).as("max_risk"))),
+    // --- conversation layer: window-ordered cross-turn logic ---
+    "q_conv_boost" -> ((s, dir) =>
+      pipeline.Conversation.verdictWithCrossTurnBoost(transcripts(s, dir))
+        .select(col("conv_id"), col("turn_idx"), col("boost_any"),
+          round(col("pii_risk_score"), 6).as("pii_risk_score"), col("keep"))),
+    "q_conv_running" -> ((s, dir) =>
+      pipeline.Conversation.runningState(Verdict(transcripts(s, dir)))),
+    "q_conv_rollup_salted" -> ((s, dir) =>
+      pipeline.Conversation.rollupSalted(Verdict(transcripts(s, dir)))),
+    // --- event-stream operators (batch twins of the streaming layer) ---
+    "q_sessionize" -> (operators.Events.sessionize _),
+    "q_session_stats" -> (operators.Events.sessionStats _),
+    "q_tumbling" -> (operators.Events.tumbling _),
     // --- training-data pipeline: dedup / similarity / text analysis ---
     "q_dedup_exact" -> (operators.Dedup.exact _),
     "q_minhash_sig" -> (operators.Dedup.minhashSig _),
@@ -137,6 +150,12 @@ object SparkEntry {
     "q_preview" -> Oracle.previewQuery,
     "q_metrics" -> Oracle.metricsQuery,
     "q_conv_rollup" -> Oracle.convRollupQuery,
+    "q_conv_boost" -> Oracle.convBoostQuery,
+    "q_conv_running" -> Oracle.convRunningQuery,
+    "q_conv_rollup_salted" -> Oracle.convRollupQuery, // identical result to the direct rollup — the salt only reshapes the shuffle
+    "q_sessionize" -> operators.Events.sessionizeOracle,
+    "q_session_stats" -> operators.Events.sessionStatsOracle,
+    "q_tumbling" -> operators.Events.tumblingOracle,
     "q_dedup_exact" -> operators.Dedup.exactOracle,
     "q_minhash_sig" -> operators.Dedup.minhashSigOracle,
     "q_minhash_pairs" -> operators.Dedup.minhashPairsOracle,

@@ -56,8 +56,13 @@ object Pii {
    * patterns (see PiiRules scaladoc) and so are omitted from this
    * column chain; the fused expression implements them literally.
    */
-  def piiMatches(text: Column): Column = {
-    val boosted = hasContextBoost(text)
+  def piiMatches(text: Column): Column =
+    piiMatchesBoosted(text, hasContextBoost(text))
+
+  /** Same scan with an externally supplied boost condition — used by the
+    * conversation layer's cross-turn boost (keyword in turn t-1 also
+    * boosts turn t). */
+  def piiMatchesBoosted(text: Column, boosted: Column): Column = {
     val all = concat(PiiRules.Patterns.map { case (t, p, c) =>
       matchesOfType(text, t, p, c, boosted)
     }: _*)
