@@ -199,6 +199,45 @@ object Oracle {
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_dropped
        |FROM verdict""".stripMargin
 
+  /** Stub-LLM merged verdict (J1/X7/F5 full form). The stub's decisions
+    * (has_pii ⇔ contains '@'; md5-derived confidence) are SQL-expressible,
+    * so the WHOLE merged keep/drop path has an exact oracle. */
+  val llmVerdictQuery: String =
+    s"""$verdictCte,
+       |llm AS (
+       |  SELECT *,
+       |    (NOT skipped AND contains(clean_text, '@')) AS llm_has_pii,
+       |    CASE WHEN (NOT skipped AND contains(clean_text, '@'))
+       |         THEN ((('0x' || substr(md5(clean_text), 1, 4))::INT) % 100) / 100.0
+       |         ELSE 0.0 END AS llm_confidence
+       |  FROM verdict
+       |), merged AS (
+       |  SELECT *,
+       |    CASE WHEN llm_has_pii THEN greatest(risk_raw, llm_confidence)
+       |         ELSE risk_raw END AS pii_risk_merged
+       |  FROM llm
+       |)
+       |SELECT conv_id, turn_idx, llm_has_pii,
+       |  round(llm_confidence, 6) AS llm_confidence,
+       |  round(pii_risk_merged, 6) AS pii_risk_merged,
+       |  (skipped OR NOT (pii_risk_merged > ${PiiRules.DropThreshold} OR llm_has_pii)) AS keep
+       |FROM merged""".stripMargin
+
+  /** F4 with the LLM term live (utils/report.py:50-63 full predicate). */
+  val llmPiiOnlyQuery: String =
+    s"""$verdictCte,
+       |llm AS (
+       |  SELECT *,
+       |    (NOT skipped AND contains(clean_text, '@')) AS llm_has_pii,
+       |    CASE WHEN (NOT skipped AND contains(clean_text, '@'))
+       |         THEN ((('0x' || substr(md5(clean_text), 1, 4))::INT) % 100) / 100.0
+       |         ELSE 0.0 END AS llm_confidence
+       |  FROM verdict
+       |)
+       |SELECT conv_id, turn_idx
+       |FROM llm
+       |WHERE NOT skipped AND (risk_raw > 0.0 OR (llm_has_pii AND llm_confidence > 0.0))""".stripMargin
+
   /** X8 deterministic-UUID scrub mode (uuid4-shaped, sha256-derived). */
   val scrubUuidQuery: String =
     s"""$verdictCte

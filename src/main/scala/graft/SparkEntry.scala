@@ -118,6 +118,19 @@ object SparkEntry {
       pipeline.Conversation.runningState(Verdict(transcripts(s, dir)))),
     "q_conv_rollup_salted" -> ((s, dir) =>
       pipeline.Conversation.rollupSalted(Verdict(transcripts(s, dir)))),
+    // J1 + X7 + F5(full): stub-LLM micro-batch stage merged into verdict
+    "q_llm_verdict" -> ((s, dir) =>
+      pipeline.Llm.withLlm(s, transcripts(s, dir)).select(
+        col("conv_id"), col("turn_idx"), col("llm_has_pii"),
+        round(col("llm_confidence"), 6).as("llm_confidence"),
+        round(col("pii_risk_merged"), 6).as("pii_risk_merged"), col("keep"))),
+    // F4 with the LLM term live
+    "q_llm_pii_only" -> ((s, dir) =>
+      pipeline.Llm.withLlm(s, transcripts(s, dir))
+        .filter(!col("skipped") &&
+          (col("pii_risk_score") > 0.0 ||
+            (col("llm_has_pii") && col("llm_confidence") > 0.0)))
+        .select("conv_id", "turn_idx")),
     // --- event-stream operators (batch twins of the streaming layer) ---
     "q_sessionize" -> (operators.Events.sessionize _),
     "q_session_stats" -> (operators.Events.sessionStats _),
@@ -153,6 +166,8 @@ object SparkEntry {
     "q_conv_boost" -> Oracle.convBoostQuery,
     "q_conv_running" -> Oracle.convRunningQuery,
     "q_conv_rollup_salted" -> Oracle.convRollupQuery, // identical result to the direct rollup — the salt only reshapes the shuffle
+    "q_llm_verdict" -> Oracle.llmVerdictQuery,
+    "q_llm_pii_only" -> Oracle.llmPiiOnlyQuery,
     "q_sessionize" -> operators.Events.sessionizeOracle,
     "q_session_stats" -> operators.Events.sessionStatsOracle,
     "q_tumbling" -> operators.Events.tumblingOracle,

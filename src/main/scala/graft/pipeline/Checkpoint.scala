@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Per-partition checkpoint/resume (north rule): the scrub job commits
+ * one conv_id-hash bucket at a time; each committed bucket appends a
+ * lineage/metrics row to a sidecar table; a killed run resumes by
+ * anti-joining committed buckets — no recomputation, byte-identical
+ * final output.
+ *
+ * This is the parquet rendering of the Iceberg design (no Iceberg jars
+ * in this sandbox): bucket dir == Iceberg partition `bucket(conv_id)`,
+ * sidecar append == snapshot commit metadata. Atomicity per bucket comes
+ * from the writer's _SUCCESS marker + the sidecar row being appended
+ * only after the data write returns.
+ *
+ * At scale the input is a table partitioned by the same bucket function,
+ * so each bucket job is partition-pruned rather than a filtered full
+ * scan; the loop granularity (buckets) trades resume granularity against
+ * per-job overhead.
+ */
+object Checkpoint {
+
+  case class RunStats(bucketsPlanned: Int, bucketsSkipped: Int,
+                      bucketsCommitted: Int, rowsWritten: Long)
+
+  def bucketOf(nBuckets: Int) = pmod(hash(col("conv_id")), lit(nBuckets))
+
+  def committedBuckets(spark: SparkSession, sidecarDir: String): Set[Int] = {
+    val fs = new java.io.File(sidecarDir)
+    if (!fs.exists()) Set.empty
+    else spark.read.parquet(sidecarDir)
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+  }
+
+  /** Runs the verdict pipeline bucket-by-bucket with commit/resume.
+    * `failAfterBucket` (test hook) kills the run after N commits —
+    * simulating a mid-job crash. */
+  def run(spark: SparkSession, transcripts: DataFrame, outDir: String,
+          nBuckets: Int = 16, failAfterBucket: Int = -1): RunStats = {
+    val sidecarDir = s"$outDir/_sidecar"
+    val done = committedBuckets(spark, sidecarDir)
+    var committed = 0
+    var rows = 0L
+    import spark.implicits._
+    (0 until nBuckets).foreach { b =>
+      if (!done.contains(b)) {
+        if (failAfterBucket >= 0 && committed >= failAfterBucket)
+          throw new RuntimeException(s"injected failure before bucket $b")
+        val verdict = Verdict(transcripts.filter(bucketOf(nBuckets) === b))
+          .select("conv_id", "turn_idx", "role", "keep", "skipped",
+            "pii_risk_score", "scrubbed_text")
+        verdict.write.mode(SaveMode.Overwrite).parquet(s"$outDir/bucket=$b")
+        // metrics row AFTER the data write: commit marker + lineage counters
+        val m = spark.read.parquet(s"$outDir/bucket=$b")
+          .agg(count(lit(1)), sum(when(!col("keep"), 1L).otherwise(0L)))
+          .head()
+        val n = m.getLong(0)
+        Seq((b, n, if (m.isNullAt(1)) 0L else m.getLong(1),
+            java.time.Instant.now().toString))
+          .toDF("bucket", "rows", "dropped", "committed_at")
+          .write.mode(SaveMode.Append).parquet(sidecarDir)
+        committed += 1
+        rows += n
+      }
+    }
+    RunStats(nBuckets, done.size, committed, rows)
+  }
+
+  /** The committed output as one DataFrame (all buckets). */
+  def readOutput(spark: SparkSession, outDir: String, nBuckets: Int = 16): DataFrame =
+    spark.read.parquet((0 until nBuckets).map(b => s"$outDir/bucket=$b"): _*)
+}
