@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal column plumbing: image/audio/video travel as opaque
+ * `binary` payloads with typed metadata; decode / feature-extraction /
+ * resize / frame-sampling run as batched per-partition stages.
+ *
+ * The DECODE KERNELS ARE STUBS — this container has no image/audio
+ * codecs — marked `stubDecode*` and implemented as deterministic
+ * byte-derived fakes. Everything around them is real and tested: the
+ * schema, the batched iterator shape (the same contract a Pandas-UDF /
+ * `mapInPandas` stage has in PySpark — fixed-size batches in, rows
+ * out), the 1→N frame-sampling generator, and the partitioning.
+ */
+object Multimodal {
+
+  case class Media(media_id: Long, kind: String, payload: Array[Byte],
+                   width: Int, height: Int, duration_ms: Int)
+  case class MediaFeatures(media_id: Long, kind: String, features: Array[Float])
+  case class Frame(media_id: Long, frame_idx: Int, frame_ts_ms: Int,
+                   thumb: Array[Byte])
+
+  /** Deterministic synthetic media table (payload = md5-stretched bytes;
+    * generation is pure column work, distributed). */
+  def generate(spark: SparkSession, n: Long): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(n).selectExpr(
+      "id AS media_id",
+      "CASE CAST(id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind",
+      "unhex(concat(md5(CAST(id AS STRING)), md5(CAST(id + 1 AS STRING)))) AS payload",
+      "CAST(64 + id % 192 AS INT) AS width",
+      "CAST(64 + id % 128 AS INT) AS height",
+      "CAST(CASE WHEN id % 3 = 2 THEN 1000 + id % 9000 ELSE 0 END AS INT) AS duration_ms"
+    ).as[Media]
+  }
+
+  /** STUB decode+embed kernel: a real implementation would decode the
+    * payload (JPEG/PCM/container) and run a vision/audio encoder; the
+    * deterministic fake derives an 8-dim feature vector from payload
+    * bytes so the surrounding plumbing is testable end-to-end. */
+  private def stubDecodeEmbed(payload: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](8)
+    var i = 0
+    while (i < payload.length) {
+      out(i % 8) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    out.map(v => v / math.max(1, payload.length / 8).toFloat)
+  }
+
+  val FeatureBatch = 32
+
+  /** Batched feature extraction: partitions stream through the kernel in
+    * fixed-size batches (the mapInPandas batch contract), never
+    * materializing a partition in memory. */
+  def extractFeatures(spark: SparkSession, media: Dataset[Media]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(FeatureBatch).flatMap { batch =>
+        // a real kernel would process `batch` as one tensor/arrow block
+        batch.map(m => MediaFeatures(m.media_id, m.kind, stubDecodeEmbed(m.payload)))
+      }
+    }
+  }
+
+  /** 1→N frame sampling for video rows (one frame per second, max 5):
+    * a generator/UDTF-shaped op — explode over a computed sequence; the
+    * thumb decode is the stub (payload slice). */
+  def sampleFrames(spark: SparkSession, media: Dataset[Media]): Dataset[Frame] = {
+    import spark.implicits._
+    media.toDF()
+      .filter(col("kind") === "video")
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), least(lit(4), (col("duration_ms") / 1000).cast("int") - 1))))
+      .selectExpr("media_id", "frame_idx",
+        "CAST(frame_idx * 1000 AS INT) AS frame_ts_ms",
+        "substr(payload, frame_idx * 4 + 1, 4) AS thumb")
+      .as[Frame]
+  }
+
+  /** Metadata-only resize: the payload transform is the decode stub's
+    * concern; the metadata arithmetic (aspect-preserving fit) is real. */
+  def resizeMeta(media: Dataset[Media], maxDim: Int): DataFrame =
+    media.toDF().withColumn("scale",
+        least(lit(1.0), lit(maxDim) / greatest(col("width"), col("height")).cast("double")))
+      .withColumn("out_width", round(col("width") * col("scale")).cast("int"))  // round, not ceil: w*(maxDim/w) can land at maxDim+ε
+      .withColumn("out_height", round(col("height") * col("scale")).cast("int"))
+      .select("media_id", "kind", "width", "height", "out_width", "out_height")
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.model.Turn
+import graft.pipeline.Verdict
+import graft.rules.PiiRules
+import graft.streaming.StreamingVerdict
+
+/** Streaming layer: the stateless verdict must agree with batch row for
+  * row; stateful conversation state must survive across micro-batches. */
+class StreamingSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private def turn(c: String, i: Int, text: String) =
+    Turn(c, i, "user", text, "", new Timestamp(1704067200000L + i * 60000L))
+
+  private val batch1 = Seq(
+    turn("a", 0, "reach me at john.doe+spam@example.co.uk"), // drop
+    turn("a", 1, "Just a regular comment about cats"),       // keep
+    turn("b", 0, "contact me please"))                       // keep, boost keyword
+  private val batch2 = Seq(
+    turn("a", 2, "Dr. John Smith will see you"),             // drop
+    turn("b", 1, "Mrs. Anna Lee Smith"))                     // drop (0.7); boosted flag from prev turn's keyword
+
+  test("stateless streaming verdict equals the batch verdict row for row") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Turn]
+    val q = StreamingVerdict.runToMemory(spark,
+      StreamingVerdict(in.toDF()).select("conv_id", "turn_idx", "keep", "scrubbed_text"),
+      "sv_stateless")
+    in.addData(batch1: _*); q.processAllAvailable()
+    in.addData(batch2: _*); q.processAllAvailable()
+    val streamed = spark.sql("SELECT * FROM sv_stateless")
+    val batch = Verdict((batch1 ++ batch2).toDF())
+      .select("conv_id", "turn_idx", "keep", "scrubbed_text")
+    streamed.exceptAll(batch).count() shouldBe 0L
+    batch.exceptAll(streamed).count() shouldBe 0L
+    q.stop()
+  }
+
+  test("flatMapGroupsWithState carries conversation state across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Turn]
+    val q = StreamingVerdict.runToMemory(spark,
+      StreamingVerdict.conversationState(spark, in.toDF()), "sv_state")
+    in.addData(batch1: _*); q.processAllAvailable()
+    in.addData(batch2: _*); q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM sv_state").collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getLong(4))).toMap
+    rows(("a", 0))._1 shouldBe false // dropped
+    rows(("a", 0))._3 shouldBe 1L    // cum_dropped after first turn
+    rows(("a", 2))._3 shouldBe 2L    // state carried into batch 2
+    // conv b: turn 0 had the "contact" keyword; turn 1 (next batch) sees it
+    rows(("b", 1))._2 shouldBe true
+    q.stop()
+  }
+
+  test("windowed drop counts with watermark aggregate per event-time minute") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Turn]
+    val q = StreamingVerdict.runToMemory(spark,
+      StreamingVerdict.windowedDropCounts(in.toDF()), "sv_win", outputMode = "append")
+    in.addData(batch1 ++ batch2: _*)
+    q.processAllAvailable()
+    // append mode emits only watermark-closed windows; push the watermark
+    in.addData(turn("z", 9999, "late marker " + PiiRules.RedactionMessage))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM sv_win").collect()
+    rows.map(_.getAs[Long]("turns")).sum shouldBe 5L
+    rows.map(_.getAs[Long]("dropped")).sum shouldBe 3L
+    q.stop()
+  }
+}
