@@ -1,24 +1,82 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.Verdict
+import graft.sources.Transcripts
+
+/**
+ * Bench harness (driver contract): prints ONE JSON line.
+ *
+ * Headline metric = turns/sec of the full keep-drop+scrub verdict
+ * (clean → VADER → PII scan → keep → scrub) over a pre-materialized
+ * synthetic transcript corpus (skewed conv sizes), forced through the
+ * noop sink so every output column is computed, nothing collected.
+ * Both scanner paths are measured: the built-in column chain and the
+ * fused single-pass expression.
+ *
+ * Env knobs: SPARK_GRAFT_SF_DIR (queries input), SPARK_GRAFT_CPUS
+ * (local[N] + shuffle partitions), SPARK_GRAFT_TURNS (corpus size,
+ * default 2M). Run at CPUS=8 and CPUS=32 on the same corpus for the
+ * N-vs-4N scaling evidence (BENCH/BASELINE.md).
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nTurns = sys.env.getOrElse("SPARK_GRAFT_TURNS", "2000000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def force(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // corpus: materialized once per (size), reused across CPU levels so
+    // the scaling comparison reads identical bytes
+    val corpus = s"${sys.props("java.io.tmpdir")}/graft_bench_${nTurns}.parquet"
+    if (!new java.io.File(corpus).exists()) {
+      Transcripts.generate(spark, nTurns, nConvs = math.max(1L, nTurns / 50),
+          skewPct = 5, numPartitions = 128)
+        .write.mode("overwrite").parquet(corpus)
+    }
+    val turns = spark.read.parquet(corpus)
+
+    // JIT warmup needs FULL passes (the expression-eval paths take ~1M
+    // invocations before C2 compiles them; a cold pass runs 5-20x slower)
+    // → repeat until the time plateaus (<10% improvement), report the best.
+    def steady(f: => Unit): Double = {
+      var best = timed(f)
+      var improving = true
+      var i = 0
+      while (i < 5 && improving) {
+        val t = timed(f)
+        improving = t < best * 0.9
+        if (t < best) best = t
+        i += 1
+      }
+      best
+    }
+    val tFused = steady(force(Verdict(turns, fused = true)))
+    val tChain = steady(force(Verdict(turns, fused = false)))
+    val tps = nTurns / tFused
+    val tpsChain = nTurns / tChain
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec = try timed(force(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
+      name -> sec
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum + tFused
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"turns":$nTurns,"keepdrop_sec_fused":$tFused,"keepdrop_sec_chain":$tChain,"turns_per_sec":$tps,"turns_per_sec_chain":$tpsChain}""")
     spark.stop()
   }
 }

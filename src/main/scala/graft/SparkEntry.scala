@@ -145,6 +145,12 @@ object SparkEntry {
     "q_ann_topk" -> ((s, dir) => operators.Similarity.annTopK(s, dir)),
     "q_lsh_buckets" -> (operators.Similarity.lshBuckets _),
     "q_ann_lsh" -> ((s, dir) => operators.Similarity.annLsh(s, dir)),
+    "q_embed_neardup" -> ((s, dir) => operators.Similarity.embedNearDup(s, dir)),
+    // O1/O2: sort dispatch + limit (top-N: TakeOrderedAndProject)
+    "q_recent_turns" -> ((s, dir) =>
+      Verdict(transcripts(s, dir))
+        .orderBy(desc("turn_idx"), asc("conv_id")).limit(20)
+        .select("conv_id", "turn_idx", "keep")),
     "q_langid" -> (operators.TextStats.langId _),
     "q_quality" -> (operators.TextStats.quality _),
     "q_token_count" -> (operators.TextStats.tokenCount _),
@@ -180,6 +186,9 @@ object SparkEntry {
     "q_ann_topk" -> operators.Similarity.annTopKOracle(),
     "q_lsh_buckets" -> operators.Similarity.lshBucketsOracle,
     "q_ann_lsh" -> operators.Similarity.annLshOracle(),
+    "q_embed_neardup" -> operators.Similarity.embedNearDupOracle(),
+    "q_recent_turns" -> (Oracle.verdictCte +
+      "\nSELECT conv_id, turn_idx, keep FROM verdict ORDER BY turn_idx DESC, conv_id ASC LIMIT 20"),
     "q_langid" -> operators.TextStats.langIdOracle,
     "q_quality" -> operators.TextStats.qualityOracle,
     "q_token_count" -> operators.TextStats.tokenCountOracle,

@@ -33,44 +33,83 @@ object PiiScan {
         Pattern.CASE_INSENSITIVE), c)
     }.toArray
 
-  private val fpCompiled: Array[Pattern] =
-    PiiRules.FalsePositivePatterns.map(Pattern.compile(_, Pattern.CASE_INSENSITIVE)).toArray
+  /** Single alternation ≡ "any of the 4 FP patterns fires" (existence
+    * check only — pii_detector.py:75-77). */
+  private val fpCompiled: Pattern = Pattern.compile(
+    "(" + PiiRules.FalsePositivePatterns.mkString(")|(") + ")", Pattern.CASE_INSENSITIVE)
 
-  private val ctxCompiled: Array[Pattern] =
-    PiiRules.ContextKeywords
-      .map(kw => Pattern.compile("\\b" + Pattern.quote(kw) + "\\b", Pattern.CASE_INSENSITIVE))
-      .toArray
+  /** Single alternation ≡ "any `\bkw\b` matches" (existence only). */
+  private val ctxCompiled: Pattern = Pattern.compile(
+    "\\b(" + PiiRules.ContextKeywords.mkString("|") + ")\\b", Pattern.CASE_INSENSITIVE)
 
-  /** analyze_text fused: returns (type, value, confidence) triples in
-    * type-major, position-minor order — identical to Pii.piiMatches. */
-  def scan(text: String): Array[InternalRow] = {
+  /** Necessary-condition guards — each matcher's pattern makes these
+    * provably required, so skipping on their absence cannot change the
+    * result (property-tested against the unguarded column chain):
+    *  - all 4 FP patterns and the phone/ssn/cc/address matchers need a
+    *    digit;
+    *  - the email matcher needs '@';
+    *  - the name matcher needs an honorific "mr./mrs./ms./dr.". */
+  private def hasDigit(s: String): Boolean = {
     var i = 0
-    while (i < fpCompiled.length) {
-      if (fpCompiled(i).matcher(text).find()) return Array.empty
+    while (i < s.length) { if (s.charAt(i) >= '0' && s.charAt(i) <= '9') return true; i += 1 }
+    false
+  }
+
+  private def hasHonorific(s: String): Boolean = {
+    var i = 0
+    val n = s.length
+    while (i < n - 2) {
+      val c = s.charAt(i)
+      if (c == 'm' || c == 'M' || c == 'd' || c == 'D') {
+        // candidates: mr. mrs. ms. dr.
+        val c1 = s.charAt(i + 1)
+        if ((c == 'd' || c == 'D') && (c1 == 'r' || c1 == 'R') && s.charAt(i + 2) == '.') return true
+        if (c == 'm' || c == 'M') {
+          if ((c1 == 'r' || c1 == 'R') && s.charAt(i + 2) == '.') return true
+          if ((c1 == 's' || c1 == 'S') && s.charAt(i + 2) == '.') return true
+          if ((c1 == 'r' || c1 == 'R') && i < n - 3 &&
+              (s.charAt(i + 2) == 's' || s.charAt(i + 2) == 'S') && s.charAt(i + 3) == '.') return true
+        }
+      }
       i += 1
     }
+    false
+  }
+
+  /** analyze_text fused: returns (type, value, confidence) triples in
+    * type-major, position-minor order — identical to Pii.piiMatches.
+    * Typical chat text (no digits, no '@', no honorific) runs ZERO
+    * regexes here — one character pass decides. */
+  def scan(text: String): Array[InternalRow] = {
+    val digits = hasDigit(text)
+    val at = text.indexOf('@') >= 0
+    val honorific = hasHonorific(text)
+    if (!at && !honorific && !digits) return Array.empty
+    if (digits && fpCompiled.matcher(text).find()) return Array.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[(UTF8String, String, Double)]
     compiled.foreach { case (t, p, conf) =>
-      val m = p.matcher(text)
-      while (m.find()) {
-        val full = m.group(0)
-        val typeName = t.toString
-        val valid =
-          if (typeName == "phone") full.replace("-", "").replace(" ", "").length >= 10
-          else if (typeName == "address") {
-            val toks = full.split("\\s+").filter(_.nonEmpty)
-            toks.length >= 2 && toks(toks.length - 2).exists(_.isLetter)
-          } else true
-        if (valid) out += ((t, full, conf))
+      val typeName = t.toString
+      val needed = typeName match {
+        case "email" => at
+        case "name_pattern" => honorific
+        case _ => digits // phone, ssn, credit_card, address all start \b\d
+      }
+      if (needed) {
+        val m = p.matcher(text)
+        while (m.find()) {
+          val full = m.group(0)
+          val valid =
+            if (typeName == "phone") full.replace("-", "").replace(" ", "").length >= 10
+            else if (typeName == "address") {
+              val toks = full.split("\\s+").filter(_.nonEmpty)
+              toks.length >= 2 && toks(toks.length - 2).exists(_.isLetter)
+            } else true
+          if (valid) out += ((t, full, conf))
+        }
       }
     }
     if (out.isEmpty) return Array.empty
-    var boost = 0.0
-    i = 0
-    while (boost == 0.0 && i < ctxCompiled.length) {
-      if (ctxCompiled(i).matcher(text).find()) boost = PiiRules.ContextBoost
-      i += 1
-    }
+    val boost = if (ctxCompiled.matcher(text).find()) PiiRules.ContextBoost else 0.0
     out.map { case (t, v, c) =>
       InternalRow(t, UTF8String.fromString(v), math.min(1.0, c + boost))
     }.toArray

@@ -120,6 +120,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus, then
+    * score only same-bucket pairs and keep cosine >= threshold (0.3 here: the synthetic corpus is near-orthogonal random vectors, so a production 0.9+ cut would be vacuous) — the
+    * scale path for embedding dedup (candidate generation is a bucket
+    * equi-join, never all-pairs). */
+  def embedNearDup(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    val b = bucketExpr(p => dotSpark("embedding", planeLitSpark(p)), AnnPlanes)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding", s"CAST($b AS INT) AS bucket")
+    e.as("x").join(e.as("y"),
+        org.apache.spark.sql.functions.col("x.bucket") ===
+          org.apache.spark.sql.functions.col("y.bucket") &&
+          org.apache.spark.sql.functions.col("x.vec_id") <
+            org.apache.spark.sql.functions.col("y.vec_id"))
+      .selectExpr("x.vec_id AS a_id", "y.vec_id AS b_id",
+        s"round(${cosSpark("x.embedding", "y.embedding")}, 6) AS cosine")
+      .filter(s"cosine >= $threshold")
+  }
+
+  def embedNearDupOracle(threshold: Double = 0.3): String = {
+    val b = bucketExpr(p => dotSql("embedding", planeLitSql(p)), AnnPlanes)
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, embedding, CAST($b AS INT) AS bucket FROM embeddings
+       |)
+       |SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+       |  round(${cosSql("x.embedding", "y.embedding")}, 6) AS cosine
+       |FROM bucketed x JOIN bucketed y
+       |  ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |WHERE round(${cosSql("x.embedding", "y.embedding")}, 6) >= $threshold""".stripMargin
+  }
+
   def annLshOracle(k: Int = 5): String = {
     val b = bucketExpr(p => dotSql("embedding", planeLitSql(p)), AnnPlanes)
     s"""WITH bucketed AS (

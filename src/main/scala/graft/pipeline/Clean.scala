@@ -30,6 +30,11 @@ object Clean {
   def stripHtml(text: Column): Column =
     regexp_replace(text, "<.*?>", "")
 
+  /** Same result, guarded by a cheap contains('<'): regexp_replace is a
+    * full regex scan per row; most chat text has no tags. */
+  def stripHtmlFast(text: Column): Column =
+    when(text.contains("<"), regexp_replace(text, "<.*?>", "")).otherwise(text)
+
   /** Full chain raw → analysis-ready text. */
   def cleanText(raw: Column): Column = stripHtml(scrapeClean(raw))
 

@@ -47,15 +47,23 @@ object Verdict {
    */
   def apply(transcripts: DataFrame,
             skipText: String = PiiRules.RedactionMessage,
-            useRandomString: Boolean = false): DataFrame = {
+            useRandomString: Boolean = false,
+            fused: Boolean = true): DataFrame = {
+    val scanner: Column => Column =
+      if (fused) graft.functions.PiiScan.apply // single-pass expr (proven ≡ chain), ~3x the chain's scan rate
+      else Pii.piiMatches // built-in column chain: the oracle-comparable semantic baseline
     val withClean = transcripts
-      .withColumn("clean_text", Clean.cleanText(col("text")))
-      .filter(Clean.nonEmpty(Clean.scrapeClean(col("text")))) // F1: pre-analysis empty drop
+      // materialize scrape_clean as a column so the F1 filter and the
+      // HTML strip share ONE evaluation of the collapse regex
+      .withColumn("scrape_clean", Clean.scrapeClean(col("text")))
+      .filter(Clean.nonEmpty(col("scrape_clean"))) // F1: pre-analysis empty drop
+      .withColumn("clean_text", Clean.stripHtmlFast(col("scrape_clean")))
+      .drop("scrape_clean")
       .withColumn("skipped", Clean.isSkipped(col("clean_text"), skipText))
     val analyzed = withClean
       .withColumn("pii_matches",
         when(col("skipped"), array().cast(org.apache.spark.sql.types.ArrayType(Pii.piiMatchType)))
-          .otherwise(Pii.piiMatches(col("clean_text"))))
+          .otherwise(scanner(col("clean_text"))))
       .withColumn("pii_risk_score",
         when(col("skipped"), lit(0.0)).otherwise(Pii.piiRiskScore(col("pii_matches"))))
     val scrubToken =

@@ -401,9 +401,12 @@ object Vader {
     * exactly one known punctuation prefix/suffix when the bare word is a
     * valid (len>1, punctuation-free) word of the text. */
   private[rules] def wordsAndEmoticons(text: String): Array[String] = {
-    val wordsOnly: Set[String] =
+    lazy val wordsOnly: Set[String] =
       text.filterNot(punctChars.contains).split("\\s+").filter(_.length > 1).toSet
     def stripToken(t: String): String = {
+      // quick reject: strippable tokens begin or end with a punct char
+      if (!punctChars.contains(t.charAt(0)) && !punctChars.contains(t.charAt(t.length - 1)))
+        return t
       // punc_after (word+punc) overrides punc_before (punc+word) on
       // collision, matching the Python dict update order
       val byPrefix = PuncList.collectFirst {
@@ -562,11 +565,18 @@ object Vader {
     val text = if (text0 == null) "" else text0
     val w = wordsAndEmoticons(text)
     val isCapDiff = allcapDifferential(w)
-    val sentiments = new Array[Double](w.length)
+    // first-occurrence index per token (Python list.index quirk), O(n)
+    val firstIdx = new java.util.HashMap[String, Integer](w.length * 2)
     var k = 0
     while (k < w.length) {
+      if (!firstIdx.containsKey(w(k))) firstIdx.put(w(k), k)
+      k += 1
+    }
+    val sentiments = new Array[Double](w.length)
+    k = 0
+    while (k < w.length) {
       val item = w(k)
-      val i = w.indexOf(item) // first-occurrence quirk, as in the original
+      val i: Int = firstIdx.get(item)
       val il = item.toLowerCase
       val kindOf = i < w.length - 1 && il == "kind" && w(i + 1).toLowerCase == "of"
       sentiments(k) =

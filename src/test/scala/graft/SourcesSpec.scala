@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.functions.LlmJson
+import graft.sources.RedditJson
+import org.apache.spark.sql.functions._
+
+/** S1/S2 JSON-scan parsing and X9 LLM-response parsing golden tests. */
+class SourcesSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private lazy val fixture: String = {
+    // reddit listing shape: top-level array, children with/without body
+    val json =
+      """[
+        |  {"data": {"children": [
+        |    {"data": {"title": "a post, no body", "ups": 9, "downs": 0,
+        |     "permalink": "/r/x/1", "id": "p1"}},
+        |    {"data": {"body": "RaunchyRaccoon that looks a lot like Miami Springs!",
+        |     "ups": 5, "downs": 1, "permalink": "/r/x/c1", "id": "c1"}}
+        |  ]}},
+        |  {"data": {"children": [
+        |    {"data": {"body": "&amp;#x200B; spaced\t\tout   text ",
+        |     "ups": 2, "downs": 0, "permalink": "/r/x/c2", "id": "c2"}},
+        |    {"data": {"body": "   ", "ups": 0, "downs": 0,
+        |     "permalink": "/r/x/c3", "id": "c3"}}
+        |  ]}}
+        |]""".stripMargin
+    val f = Files.createTempFile("reddit", ".json")
+    Files.writeString(f, json)
+    f.toString
+  }
+
+  test("S1 listing scan: explode children, keep body rows, P1-P3 + F1") {
+    val rows = RedditJson.parseListing(spark, fixture)
+      .orderBy("id").collect()
+    rows.length shouldBe 2 // post (no body) and whitespace-only comment dropped
+    rows(0).getAs[String]("text") shouldBe "RaunchyRaccoon that looks a lot like Miami Springs!"
+    rows(0).getAs[Int]("upvotes") shouldBe 5
+    // zwsp removed AFTER collapse: leading space is faithful
+    rows(1).getAs[String]("text") shouldBe " spaced out text"
+  }
+
+  test("S2/O1/O2 user scan: sort dispatch + limit") {
+    RedditJson.parseUser(spark, fixture, sort = "top", limit = 1)
+      .head().getAs[String]("id") shouldBe "c1"
+    RedditJson.parseUser(spark, fixture, sort = "new", limit = 1)
+      .head().getAs[String]("id") shouldBe "c2"
+  }
+
+  test("X9: direct JSON, fenced JSON, think-prefixed, and garbage responses") {
+    import spark.implicits._
+    val direct = """{"has_pii": true, "confidence": 0.9, "details": [{"type": "email", "example": "a@b.c"}], "reasoning": "found email", "risk_factors": ["email"]}"""
+    val fenced = "Sure! Here is the analysis:\n```json\n" + direct + "\n```\nHope that helps."
+    val think = "<think>hmm, let me look</think>" + direct
+    val noPii = """{"has_pii": false, "confidence": 0.8, "reasoning": "nothing found"}"""
+    val garbage = "I am sorry, I cannot respond in JSON."
+    val df = Seq(direct, fenced, think, noPii, garbage).toDF("raw")
+    val (risk, findings, error) = LlmJson.verdictColumns(col("raw"))
+    val out = df.select(risk.as("risk"), findings.as("f"), error.as("err")).collect()
+
+    out(0).getDouble(0) shouldBe 0.9
+    out(0).getStruct(1).getAs[Boolean]("has_pii") shouldBe true
+    out(1).getDouble(0) shouldBe 0.9 // recovered from the fenced block
+    out(2).getDouble(0) shouldBe 0.9 // think prefix stripped
+    out(3).getDouble(0) shouldBe 0.0 // has_pii=false ⇒ risk 0 + canonical record
+    out(3).getStruct(1).getAs[String]("reasoning") shouldBe "No PII detected"
+    out(4).getDouble(0) shouldBe 0.0
+    out(4).isNullAt(1) shouldBe true
+    out(4).getString(2) should include("parsing failed")
+  }
+
+  test("X11: detail formatting") {
+    import spark.implicits._
+    val df = Seq(("email", "line1\nline2")).toDF("type", "example")
+    df.select(LlmJson.formatDetail(struct(col("type"), col("example"))).as("d"))
+      .head().getString(0) shouldBe "email: line1 line2"
+  }
+}
