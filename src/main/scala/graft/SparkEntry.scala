@@ -146,6 +146,8 @@ object SparkEntry {
     "q_lsh_buckets" -> (operators.Similarity.lshBuckets _),
     "q_ann_lsh" -> ((s, dir) => operators.Similarity.annLsh(s, dir)),
     "q_embed_neardup" -> ((s, dir) => operators.Similarity.embedNearDup(s, dir)),
+    "q_ivf_cells" -> (operators.Similarity.ivfCells _),
+    "q_ann_ivf" -> ((s, dir) => operators.Similarity.annIvf(s, dir)),
     // O1/O2: sort dispatch + limit (top-N: TakeOrderedAndProject)
     "q_recent_turns" -> ((s, dir) =>
       Verdict(transcripts(s, dir))
@@ -187,6 +189,8 @@ object SparkEntry {
     "q_lsh_buckets" -> operators.Similarity.lshBucketsOracle,
     "q_ann_lsh" -> operators.Similarity.annLshOracle(),
     "q_embed_neardup" -> operators.Similarity.embedNearDupOracle(),
+    "q_ivf_cells" -> operators.Similarity.ivfCellsOracle,
+    "q_ann_ivf" -> operators.Similarity.annIvfOracle(),
     "q_recent_turns" -> (Oracle.verdictCte +
       "\nSELECT conv_id, turn_idx, keep FROM verdict ORDER BY turn_idx DESC, conv_id ASC LIMIT 20"),
     "q_langid" -> operators.TextStats.langIdOracle,

@@ -150,6 +150,73 @@ object Similarity {
        |WHERE round(${cosSql("x.embedding", "y.embedding")}, 6) >= $threshold""".stripMargin
   }
 
+  /** IVF centroid ids: a deterministic coarse codebook — corpus vectors
+    * 1..16 stand in for trained k-means centroids (training is an
+    * offline concern; the operator shape — assign to nearest centroid,
+    * probe one inverted list — is what scales). */
+  val IvfCentroids = 16
+
+  /** IVF cell assignment: nearest centroid by cosine (tie → smaller
+    * centroid id), via a broadcast join + window argmax. */
+  def ivfCells(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, row_number, desc, asc}
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = e.filter(s"vec_id BETWEEN 1 AND $IvfCentroids")
+      .selectExpr("vec_id AS cent_id", "embedding AS cent")
+    val scored = e.join(broadcast(cents))
+      .selectExpr("vec_id", s"cent_id", s"round(${cosSpark("embedding", "cent")}, 6) AS ccos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("ccos"), asc("cent_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select("vec_id", "cent_id")
+  }
+
+  val ivfCellsOracle: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+       |  WHERE vec_id BETWEEN 1 AND $IvfCentroids
+       |), scored AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    round(${cosSql("e.embedding", "c.cent")}, 6) AS ccos
+       |  FROM embeddings e CROSS JOIN cents c
+       |), ranked AS (
+       |  SELECT vec_id, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rk
+       |  FROM scored
+       |)
+       |SELECT vec_id, cent_id FROM ranked WHERE rk = 1""".stripMargin
+
+  /** IVF-probed ANN: search only the query's cell (nprobe = 1). */
+  def annIvf(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, desc, asc}
+    val cells = ivfCells(spark, dir)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet").join(cells, "vec_id")
+    val q = e.filter("vec_id = 0").selectExpr("embedding AS qv", "cent_id AS qc")
+    e.join(broadcast(q))
+      .filter("vec_id <> 0 AND cent_id = qc")
+      .selectExpr("vec_id", s"round(${cosSpark("embedding", "qv")}, 6) AS cosine")
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
+  def annIvfOracle(k: Int = 5): String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+       |  WHERE vec_id BETWEEN 1 AND $IvfCentroids
+       |), scored AS (
+       |  SELECT e.vec_id, e.embedding, c.cent_id,
+       |    round(${cosSql("e.embedding", "c.cent")}, 6) AS ccos
+       |  FROM embeddings e CROSS JOIN cents c
+       |), cells AS (
+       |  SELECT vec_id, embedding, cent_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rk
+       |    FROM scored) WHERE rk = 1
+       |)
+       |SELECT vec_id, round(${cosSql("embedding", "qv")}, 6) AS cosine
+       |FROM cells CROSS JOIN (SELECT embedding AS qv, cent_id AS qc FROM cells WHERE vec_id = 0)
+       |WHERE vec_id <> 0 AND cent_id = qc
+       |ORDER BY cosine DESC, vec_id ASC LIMIT $k""".stripMargin
+
   def annLshOracle(k: Int = 5): String = {
     val b = bucketExpr(p => dotSql("embedding", planeLitSql(p)), AnnPlanes)
     s"""WITH bucketed AS (
