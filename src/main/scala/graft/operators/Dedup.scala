@@ -63,16 +63,37 @@ object Dedup {
       |  FROM toks WHERE len(t) >= 3
       |)""".stripMargin
 
+  /** The NumHashes hash family is derived from EIGHT md5 digests per
+    * shingle (8 x 32 = 256 hex chars), sliced into 32 8-hex (32-bit)
+    * windows — 8 hashes per shingle instead of 32, identical in both
+    * engines; fixed-width lowercase hex keeps lexicographic min ==
+    * numeric min. (32 windows x 8 hex NEED 256 chars: slicing past the
+    * digest end silently yields '' and every band collides.) */
+  private val hhSpark: String = {
+    val digests = (0 until 8).map {
+      case 0 => "md5(s)"
+      case i => s"md5(concat('$i', s))"
+    }.mkString(", ")
+    s"transform(sh, s -> concat($digests)) AS hh"
+  }
+  private val hhSql: String = {
+    val digests = (0 until 8).map {
+      case 0 => "md5(s)"
+      case i => s"md5('$i' || s)"
+    }.mkString(" || ")
+    s"list_transform(sh, s -> $digests) AS hh"
+  }
   private def mhExprSpark(j: Int): String =
-    s"array_min(transform(sh, s -> substr(md5(concat('$j:', s)), 1, 16)))"
+    s"array_min(transform(hh, h -> substr(h, ${j * 8 + 1}, 8)))"
   private def mhExprSql(j: Int): String =
-    s"list_min(list_transform(sh, s -> substr(md5('$j:' || s), 1, 16)))"
+    s"list_min(list_transform(hh, h -> substr(h, ${j * 8 + 1}, 8)))"
 
   /** Per-doc MinHash signature (NumHashes md5-derived components),
     * emitted as one comma-joined string for oracle comparability. */
   def minhashSig(spark: SparkSession, dir: String): DataFrame = {
     val mh = (0 until NumHashes).map(j => s"${mhExprSpark(j)} AS mh$j")
     shingled(spark, dir)
+      .selectExpr("doc_id", hhSpark)
       .selectExpr(Seq("doc_id") ++ mh: _*)
       .selectExpr("doc_id",
         s"concat_ws(',', ${(0 until NumHashes).map(j => s"mh$j").mkString(", ")}) AS sig")
@@ -81,9 +102,10 @@ object Dedup {
   val minhashSigOracle: String = {
     val mh = (0 until NumHashes).map(j => s"${mhExprSql(j)} AS mh$j").mkString(",\n    ")
     s"""$shingledCte,
+       |hashed AS (SELECT doc_id, $hhSql FROM shingled),
        |sigs AS (SELECT doc_id,
        |    $mh
-       |  FROM shingled)
+       |  FROM hashed)
        |SELECT doc_id,
        |  ${(0 until NumHashes).map(j => s"mh$j").mkString(" || ',' || ")} AS sig
        |FROM sigs""".stripMargin
@@ -97,7 +119,7 @@ object Dedup {
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir).cache()
     val mh = (0 until NumHashes).map(j => s"${mhExprSpark(j)} AS mh$j")
-    val sigs = sh.selectExpr(Seq("doc_id") ++ mh: _*)
+    val sigs = sh.selectExpr("doc_id", hhSpark).selectExpr(Seq("doc_id") ++ mh: _*)
     val bandStructs = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}").mkString(", ")
       s"struct($b AS band, md5(concat($cols)) AS bucket)"
@@ -124,9 +146,10 @@ object Dedup {
       s"SELECT doc_id, $b AS band, md5($cols) AS bucket FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
     s"""$shingledCte,
+       |hashed AS (SELECT doc_id, $hhSql FROM shingled),
        |sigs AS (SELECT doc_id,
        |    $mh
-       |  FROM shingled),
+       |  FROM hashed),
        |banded AS (
        |  $bandSelects
        |),

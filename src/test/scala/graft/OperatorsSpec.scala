@@ -25,12 +25,22 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val b = Dedup.minhashSig(spark, dir).orderBy("doc_id").head(3)
     a.map(_.getString(1)) shouldBe b.map(_.getString(1))
     all(a.map(_.getString(1).split(",").length)) shouldBe Dedup.NumHashes
+    // the hash family must be real: components non-empty and (for a
+    // many-shingle doc) not all identical — a slicing bug past the digest
+    // end yields '' windows and every LSH band collides corpus-wide
+    a.foreach { r =>
+      val comps = r.getString(1).split(",")
+      all(comps.map(_.length)) shouldBe 8
+      comps.distinct.length should be > 1
+    }
   }
 
-  test("LSH candidate pairs carry true jaccard in (0, 1]") {
+  test("LSH candidate pairs carry true jaccard in (0, 1] and are selective") {
     val rows = Dedup.minhashPairs(spark, dir).collect()
     all(rows.map(_.getDouble(2))) should (be > 0.0 and be <= 1.0)
     rows.foreach(r => r.getLong(0) should be < r.getLong(1))
+    // candidate generation must prune: nowhere near all C(500,2) pairs
+    rows.length should be < 1000
   }
 
   test("adjacent jaccard: symmetric-set measure stays in [0, 1]") {
