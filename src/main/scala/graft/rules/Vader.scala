@@ -401,8 +401,17 @@ object Vader {
     * exactly one known punctuation prefix/suffix when the bare word is a
     * valid (len>1, punctuation-free) word of the text. */
   private[rules] def wordsAndEmoticons(text: String): Array[String] = {
+    // built only when some candidate still contains internal punctuation
+    // (see fast path below) — rare, so usually never materialized
     lazy val wordsOnly: Set[String] =
       text.filterNot(punctChars.contains).split("\\s+").filter(_.length > 1).toSet
+    // membership in wordsOnly for a ONE-LAYER-stripped candidate:
+    //  - a punctuation-free candidate w of len>1 is ALWAYS a member — the
+    //    token it came from is p+w or w+p, whose all-punct-removal is
+    //    exactly w and enters wordsOnly by construction;
+    //  - a candidate with remaining punctuation needs the real set.
+    def isValidWord(w: String): Boolean =
+      w.length > 1 && (!w.exists(punctChars.contains) || wordsOnly(w))
     def stripToken(t: String): String = {
       // quick reject: strippable tokens begin or end with a punct char
       if (!punctChars.contains(t.charAt(0)) && !punctChars.contains(t.charAt(t.length - 1)))
@@ -410,11 +419,11 @@ object Vader {
       // punc_after (word+punc) overrides punc_before (punc+word) on
       // collision, matching the Python dict update order
       val byPrefix = PuncList.collectFirst {
-        case p if t.length > p.length && t.startsWith(p) && wordsOnly(t.substring(p.length)) =>
+        case p if t.length > p.length && t.startsWith(p) && isValidWord(t.substring(p.length)) =>
           t.substring(p.length)
       }
       val bySuffix = PuncList.collectFirst {
-        case p if t.length > p.length && t.endsWith(p) && wordsOnly(t.substring(0, t.length - p.length)) =>
+        case p if t.length > p.length && t.endsWith(p) && isValidWord(t.substring(0, t.length - p.length)) =>
           t.substring(0, t.length - p.length)
       }
       bySuffix.orElse(byPrefix).getOrElse(t)
