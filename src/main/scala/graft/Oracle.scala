@@ -13,13 +13,13 @@ import graft.sources.Transcripts
 object Oracle {
 
   /** Reference clean chain over a SQL expression (see pipeline.Clean):
-    * whitespace collapse+trim → literal zwsp removal → HTML strip. */
+    * unicode-whitespace collapse+trim → literal zwsp removal → HTML strip. */
   def cleanSql(col: String): String =
-    s"regexp_replace(replace(trim(regexp_replace($col, '\\s+', ' ', 'g')), '&amp;#x200B;', ''), '<.*?>', '', 'g')"
+    s"regexp_replace(replace(trim(regexp_replace($col, '${graft.pipeline.Clean.PyWhitespaceClass}+', ' ', 'g')), '&amp;#x200B;', ''), '<.*?>', '', 'g')"
 
   /** Scrape-time clean only (the F1 non-empty check runs on this). */
   def scrapeCleanSql(col: String): String =
-    s"replace(trim(regexp_replace($col, '\\s+', ' ', 'g')), '&amp;#x200B;', '')"
+    s"replace(trim(regexp_replace($col, '${graft.pipeline.Clean.PyWhitespaceClass}+', ' ', 'g')), '&amp;#x200B;', '')"
 
   def fpSql(col: String): String =
     s"regexp_matches($col, '${PiiRules.FalsePositiveRegex}')"

@@ -27,18 +27,27 @@ object LlmJson {
     StructField("risk_factors", ArrayType(StringType))
   ))
 
-  /** Step 1: text after the first `</think>` (whole text if absent). */
-  def stripThink(raw: Column): Column =
+  /** Step 1: Python `raw.split("</think>")[1]` — the segment BETWEEN the
+    * first and second marker (rest of string when there is only one);
+    * whole text if the marker is absent. */
+  def stripThink(raw: Column): Column = {
+    val afterFirst = raw.substr(locate("</think>", raw) + 8, length(raw))
     when(raw.contains("</think>"),
-      raw.substr(locate("</think>", raw) + 8, length(raw)))
+      substring_index(afterFirst, "</think>", 1))
       .otherwise(raw)
+  }
 
-  /** Steps 1-3: parsed struct or null. */
+  /** Steps 1-3: parsed struct or null. The fenced fallback mirrors
+    * `split("```json")[1].split("```")[0].strip()` — an UNTERMINATED
+    * fence (common LLM truncation) still parses (substring_index returns
+    * the remainder when the closing fence is absent). */
   def parse(raw: Column): Column = {
     val stripped = stripThink(raw)
     val direct = from_json(stripped, findingsSchema)
-    val fenced = from_json(
-      regexp_extract(stripped, "(?s)```json(.*?)```", 1), findingsSchema)
+    val afterFence = stripped.substr(locate("```json", stripped) + 7, length(stripped))
+    val fencedBody = when(stripped.contains("```json"),
+      trim(substring_index(afterFence, "```", 1))).otherwise(lit(null))
+    val fenced = from_json(fencedBody, findingsSchema)
     // from_json(PERMISSIVE) yields an all-null struct on garbage — treat
     // a null has_pii AND null confidence as a failed parse
     val ok: Column => Column = s =>
@@ -52,11 +61,13 @@ object LlmJson {
     val conf = coalesce(p.getField("confidence"), lit(0.0))
     val hasPii = coalesce(p.getField("has_pii"), lit(false))
     val risk = when(p.isNull, lit(0.0)).when(hasPii, conf).otherwise(lit(0.0))
+    // llm_detector.py:133-139 rewrites details/risk_factors to EMPTY
+    // lists (not null) for a no-PII verdict
     val canonicalNoPii = struct(
       lit(false).as("has_pii"), lit(0.0).as("confidence"),
-      lit(null).cast(findingsSchema("details").dataType).as("details"),
+      array().cast(findingsSchema("details").dataType).as("details"),
       lit("No PII detected").as("reasoning"),
-      lit(null).cast(ArrayType(StringType)).as("risk_factors"))
+      array().cast(ArrayType(StringType)).as("risk_factors"))
     val findings = when(p.isNull, lit(null).cast(findingsSchema))
       .when(hasPii, p).otherwise(canonicalNoPii)
     val error = when(p.isNull, lit("LLM response parsing failed")).otherwise(lit(null))

@@ -73,8 +73,13 @@ object Multimodal {
     import spark.implicits._
     media.toDF()
       .filter(col("kind") === "video")
-      .withColumn("frame_idx",
-        explode(sequence(lit(0), least(lit(4), (col("duration_ms") / 1000).cast("int") - 1))))
+      .withColumn("frame_idx", explode(
+        // sub-second videos yield ZERO frames: sequence(0,-1) would
+        // generate a DESCENDING [0,-1] — guard with an empty array
+        when(col("duration_ms") >= 1000,
+          sequence(lit(0), least(lit(4), (col("duration_ms") / 1000).cast("int") - 1)))
+          .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType)))))
       .selectExpr("media_id", "frame_idx",
         "CAST(frame_idx * 1000 AS INT) AS frame_ts_ms",
         "substr(payload, frame_idx * 4 + 1, 4) AS thumb")

@@ -29,8 +29,11 @@ object Checkpoint {
   def bucketOf(nBuckets: Int) = pmod(hash(col("conv_id")), lit(nBuckets))
 
   def committedBuckets(spark: SparkSession, sidecarDir: String): Set[Int] = {
-    val fs = new java.io.File(sidecarDir)
-    if (!fs.exists()) Set.empty
+    // Hadoop FileSystem, not java.io.File: the sidecar lives wherever the
+    // output does (HDFS/S3/local) and resume must see it there
+    val path = new org.apache.hadoop.fs.Path(sidecarDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Set.empty
     else spark.read.parquet(sidecarDir)
       .select("bucket").distinct().collect().map(_.getInt(0)).toSet
   }

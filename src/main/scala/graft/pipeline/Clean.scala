@@ -20,10 +20,20 @@ import graft.rules.PiiRules
  */
 object Clean {
 
-  /** Steps 1-2: the scrape-time normalization. */
+  /** Python str.split()'s whitespace set — the reference's collapse
+    * (api/scraper.py:57) splits on UNICODE whitespace, not just ASCII
+    * \s: adds VT, FS..US, NEL, NBSP, ogham, en/em/etc spaces, LS, PS,
+    * NNBSP, MMSP, ideographic space. The `\x{hhhh}` class syntax parses
+    * identically in Java regex (Spark) and RE2 (DuckDB oracle). */
+  val PyWhitespaceClass: String =
+    """[\s\x0b\x1c-\x1f\x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]"""
+
+  /** Steps 1-2: the scrape-time normalization. (After the collapse every
+    * whitespace run — unicode included — is a single ASCII space, so the
+    * space-only trim matches Python's strip.) */
   def scrapeClean(raw: Column): Column =
     regexp_replace(
-      trim(regexp_replace(raw, "\\s+", " ")),
+      trim(regexp_replace(raw, PyWhitespaceClass + "+", " ")),
       "&amp;#x200B;", "")
 
   /** Step 3: analysis-time HTML strip (non-greedy, single pass). */

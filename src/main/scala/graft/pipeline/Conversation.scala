@@ -31,23 +31,14 @@ object Conversation {
    * match confidences (+0.15, cap 1.0). First turn has no predecessor.
    */
   def verdictWithCrossTurnBoost(transcripts: DataFrame): DataFrame = {
-    val withClean = transcripts
-      .withColumn("clean_text", Clean.cleanText(col("text")))
-      .filter(Clean.nonEmpty(Clean.scrapeClean(col("text"))))
-      .withColumn("skipped", Clean.isSkipped(col("clean_text")))
+    val withBoost = Verdict.cleaned(transcripts, PiiRules.RedactionMessage)
       .withColumn("own_boost", Pii.hasContextBoost(col("clean_text")))
       .withColumn("prev_boost",
         coalesce(lag(col("own_boost"), 1).over(turnWindow), lit(false)))
       .withColumn("boost_any", col("own_boost") || col("prev_boost"))
-    withClean
-      .withColumn("pii_matches",
-        when(col("skipped"), array().cast(org.apache.spark.sql.types.ArrayType(Pii.piiMatchType)))
-          .otherwise(Pii.piiMatchesBoosted(col("clean_text"), col("boost_any"))))
-      .withColumn("pii_risk_score",
-        when(col("skipped"), lit(0.0)).otherwise(Pii.piiRiskScore(col("pii_matches"))))
-      .withColumn("keep", col("skipped") || !(col("pii_risk_score") > PiiRules.DropThreshold))
-      .withColumn("scrubbed_text",
-        when(col("keep"), col("clean_text")).otherwise(lit(PiiRules.RedactionMessage)))
+    Verdict.assemble(withBoost,
+      Pii.piiMatchesBoosted(col("clean_text"), col("boost_any")),
+      useRandomString = false)
   }
 
   /** Per-conversation running state under stable turn order: dense row

@@ -50,9 +50,15 @@ object Verdict {
             useRandomString: Boolean = false,
             fused: Boolean = true): DataFrame = {
     val scanner: Column => Column =
-      if (fused) graft.functions.PiiScan.apply // single-pass expr (proven ≡ chain), ~3x the chain's scan rate
+      if (fused) graft.functions.PiiScan.apply // single-pass expr (proven ≡ chain), ~2x the chain's scan rate
       else Pii.piiMatches // built-in column chain: the oracle-comparable semantic baseline
-    val withClean = transcripts
+    assemble(cleaned(transcripts, skipText), scanner(col("clean_text")), useRandomString)
+  }
+
+  /** Clean + F1 + skip-guard columns (shared with the conversation
+    * layer's cross-turn variant so the chains can't drift). */
+  private[pipeline] def cleaned(transcripts: DataFrame, skipText: String): DataFrame =
+    transcripts
       // materialize scrape_clean as a column so the F1 filter and the
       // HTML strip share ONE evaluation of the collapse regex
       .withColumn("scrape_clean", Clean.scrapeClean(col("text")))
@@ -60,16 +66,20 @@ object Verdict {
       .withColumn("clean_text", Clean.stripHtmlFast(col("scrape_clean")))
       .drop("scrape_clean")
       .withColumn("skipped", Clean.isSkipped(col("clean_text"), skipText))
-    val analyzed = withClean
-      .withColumn("pii_matches",
-        when(col("skipped"), array().cast(org.apache.spark.sql.types.ArrayType(Pii.piiMatchType)))
-          .otherwise(scanner(col("clean_text"))))
-      .withColumn("pii_risk_score",
-        when(col("skipped"), lit(0.0)).otherwise(Pii.piiRiskScore(col("pii_matches"))))
+
+  /** Verdict-column assembly over a [[cleaned]] frame, given the match
+    * expression (plain scan, or the conversation layer's boosted scan). */
+  private[pipeline] def assemble(withClean: DataFrame, matchesExpr: Column,
+                                 useRandomString: Boolean): DataFrame = {
     val scrubToken =
       if (useRandomString) deterministicUuid(col("conv_id"), col("turn_idx"))
       else lit(PiiRules.RedactionMessage)
-    analyzed
+    withClean
+      .withColumn("pii_matches",
+        when(col("skipped"), array().cast(org.apache.spark.sql.types.ArrayType(Pii.piiMatchType)))
+          .otherwise(matchesExpr))
+      .withColumn("pii_risk_score",
+        when(col("skipped"), lit(0.0)).otherwise(Pii.piiRiskScore(col("pii_matches"))))
       .withColumn("sentiment_score",
         when(col("skipped"), lit(0.0))
           .otherwise(graft.functions.VaderUdf.compound(col("clean_text"))))

@@ -71,6 +71,12 @@ object Vader {
 
   private val punctChars: Set[Char] = """!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~""".toSet
 
+  /** Python str.split() whitespace (unicode), matching the reference's
+    * tokenizer — see Clean.PyWhitespaceClass for the full set. */
+  private val pySplit = java.util.regex.Pattern.compile(
+    graft.pipeline.Clean.PyWhitespaceClass + "+")
+  private def splitPy(s: String): Array[String] = pySplit.split(s)
+
   /** Curated subset of the published lexicon: `word value` per line. */
   private val lexiconData: String = """
     |good 1.9
@@ -404,7 +410,7 @@ object Vader {
     // built only when some candidate still contains internal punctuation
     // (see fast path below) — rare, so usually never materialized
     lazy val wordsOnly: Set[String] =
-      text.filterNot(punctChars.contains).split("\\s+").filter(_.length > 1).toSet
+      splitPy(text.filterNot(punctChars.contains)).filter(_.length > 1).toSet
     // membership in wordsOnly for a ONE-LAYER-stripped candidate:
     //  - a punctuation-free candidate w of len>1 is ALWAYS a member — the
     //    token it came from is p+w or w+p, whose all-punct-removal is
@@ -428,7 +434,7 @@ object Vader {
       }
       bySuffix.orElse(byPrefix).getOrElse(t)
     }
-    text.split("\\s+").filter(_.length > 1).map(stripToken)
+    splitPy(text).filter(_.length > 1).map(stripToken)
   }
 
   private def allcapDifferential(words: Array[String]): Boolean = {
@@ -476,8 +482,10 @@ object Vader {
   }
 
   private def idiomsCheck(valence0: Double, w: Array[String], i: Int): Double = {
+    // nltk 3.8.1 builds idiom/booster bigrams from the tokens AS-IS
+    // (case-sensitive) — "THE SHIT" does NOT hit the idiom table
     var valence = valence0
-    def lw(j: Int) = w(j).toLowerCase
+    def lw(j: Int) = w(j)
     val oneZero = s"${lw(i - 1)} ${lw(i)}"
     val twoOneZero = s"${lw(i - 2)} ${lw(i - 1)} ${lw(i)}"
     val twoOne = s"${lw(i - 2)} ${lw(i - 1)}"
@@ -566,7 +574,11 @@ object Vader {
 
   /** Banker's rounding, as Python round() used by the original. */
   def roundHalfEven(x: Double, digits: Int): Double =
-    BigDecimal(x).setScale(digits, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    // exact binary value (like Python round), NOT the shortest decimal
+    // repr: BigDecimal(0.30975) would round the string "0.30975" up,
+    // while the stored double is 0.30974999… and must round down
+    new java.math.BigDecimal(x)
+      .setScale(digits, java.math.RoundingMode.HALF_EVEN).doubleValue()
 
   case class Scores(neg: Double, neu: Double, pos: Double, compound: Double)
 

@@ -42,7 +42,9 @@ object RedditJson {
     val rows = parseListing(spark, path)
     val sorted = sort match {
       case "top" => rows.orderBy(desc("upvotes"), asc("id"))
-      case _ => rows.orderBy(desc("id")) // "new": id is the creation ordinal
+      // "new": reddit ids are base-36 creation ordinals — compare
+      // NUMERICALLY (string desc would misorder ids of unequal length)
+      case _ => rows.orderBy(conv(col("id"), 36, 10).cast("long").desc)
     }
     if (limit > 0) sorted.limit(limit) else sorted
   }

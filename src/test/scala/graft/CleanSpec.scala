@@ -21,7 +21,8 @@ class CleanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     ("no<br/>break", "nobreak"),
     ("plain", "plain"),
     ("< not a tag really >ok", "ok"),                      // non-greedy still eats the first <...>
-    ("a  <i>b</i>  c", "a b c")
+    ("a  <i>b</i>  c", "a b c"),
+    ("nbsp here and　wide", "nbsp here and wide") // Python str.split() = unicode whitespace
   )
 
   test("clean chain matches reference order of operations") {

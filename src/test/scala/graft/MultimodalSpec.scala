@@ -38,6 +38,12 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("sub-second videos sample zero frames (no bogus negative indices)") {
+    import spark.implicits._
+    val short = Seq(Multimodal.Media(99L, "video", Array[Byte](1,2,3,4,5,6,7,8), 64, 64, 500)).toDS()
+    Multimodal.sampleFrames(spark, short).count() shouldBe 0L
+  }
+
   test("resize metadata: aspect-preserving, never upscales") {
     val r = Multimodal.resizeMeta(media, maxDim = 100).collect()
     r.foreach { row =>

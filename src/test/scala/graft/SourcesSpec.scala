@@ -24,7 +24,9 @@ class SourcesSpec extends AnyFunSuite with Matchers with SparkTestBase {
         |    {"data": {"body": "&amp;#x200B; spaced\t\tout   text ",
         |     "ups": 2, "downs": 0, "permalink": "/r/x/c2", "id": "c2"}},
         |    {"data": {"body": "   ", "ups": 0, "downs": 0,
-        |     "permalink": "/r/x/c3", "id": "c3"}}
+        |     "permalink": "/r/x/c3", "id": "c3"}},
+        |    {"data": {"body": "newest comment", "ups": 1, "downs": 0,
+        |     "permalink": "/r/x/c10", "id": "c10"}}
         |  ]}}
         |]""".stripMargin
     val f = Files.createTempFile("reddit", ".json")
@@ -33,20 +35,22 @@ class SourcesSpec extends AnyFunSuite with Matchers with SparkTestBase {
   }
 
   test("S1 listing scan: explode children, keep body rows, P1-P3 + F1") {
-    val rows = RedditJson.parseListing(spark, fixture)
-      .orderBy("id").collect()
-    rows.length shouldBe 2 // post (no body) and whitespace-only comment dropped
-    rows(0).getAs[String]("text") shouldBe "RaunchyRaccoon that looks a lot like Miami Springs!"
-    rows(0).getAs[Int]("upvotes") shouldBe 5
+    val rows = RedditJson.parseListing(spark, fixture).collect()
+      .map(r => r.getAs[String]("id") -> r).toMap
+    rows.size shouldBe 3 // post (no body) and whitespace-only comment dropped
+    rows("c1").getAs[String]("text") shouldBe "RaunchyRaccoon that looks a lot like Miami Springs!"
+    rows("c1").getAs[Int]("upvotes") shouldBe 5
     // zwsp removed AFTER collapse: leading space is faithful
-    rows(1).getAs[String]("text") shouldBe " spaced out text"
+    rows("c2").getAs[String]("text") shouldBe " spaced out text"
   }
 
   test("S2/O1/O2 user scan: sort dispatch + limit") {
     RedditJson.parseUser(spark, fixture, sort = "top", limit = 1)
       .head().getAs[String]("id") shouldBe "c1"
+    // "new" compares base-36 ids NUMERICALLY: c10 (len 3) > c2 despite
+    // 'c2' > 'c10' lexicographically
     RedditJson.parseUser(spark, fixture, sort = "new", limit = 1)
-      .head().getAs[String]("id") shouldBe "c2"
+      .head().getAs[String]("id") shouldBe "c10"
   }
 
   test("X9: direct JSON, fenced JSON, think-prefixed, and garbage responses") {
@@ -56,7 +60,9 @@ class SourcesSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val think = "<think>hmm, let me look</think>" + direct
     val noPii = """{"has_pii": false, "confidence": 0.8, "reasoning": "nothing found"}"""
     val garbage = "I am sorry, I cannot respond in JSON."
-    val df = Seq(direct, fenced, think, noPii, garbage).toDF("raw")
+    val unterminated = "analysis follows\n```json\n" + direct // truncated response, no closing fence
+    val doubleThink = "<think>a</think>middle</think>tail" // split[1] == "middle" only
+    val df = Seq(direct, fenced, think, noPii, garbage, unterminated, doubleThink).toDF("raw")
     val (risk, findings, error) = LlmJson.verdictColumns(col("raw"))
     val out = df.select(risk.as("risk"), findings.as("f"), error.as("err")).collect()
 
@@ -69,6 +75,12 @@ class SourcesSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(4).getDouble(0) shouldBe 0.0
     out(4).isNullAt(1) shouldBe true
     out(4).getString(2) should include("parsing failed")
+    // no-PII canonical record carries EMPTY lists, not nulls (llm_detector.py:134-139)
+    out(3).getStruct(1).getSeq[Any](2) shouldBe Seq()
+    out(3).getStruct(1).getSeq[String](4) shouldBe Seq()
+    out(5).getDouble(0) shouldBe 0.9 // unterminated fence still parses
+    out(6).getDouble(0) shouldBe 0.0 // only the between-markers segment is parsed
+    out(6).getString(2) should include("parsing failed")
   }
 
   test("X11: detail formatting") {
