@@ -28,12 +28,14 @@ object Clean {
   val PyWhitespaceClass: String =
     """[\s\x0b\x1c-\x1f\x{0085}\x{00a0}\x{1680}\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]"""
 
-  /** Steps 1-2: the scrape-time normalization. (After the collapse every
-    * whitespace run — unicode included — is a single ASCII space, so the
-    * space-only trim matches Python's strip.) */
+  /** Steps 1-2: the scrape-time normalization. The collapse+trim runs as
+    * a single-pass character scan ([[graft.functions.PyText]]): Java
+    * regex pays a 7-10x penalty for a unicode-whitespace class, and this
+    * is the hottest expression in the engine. The DuckDB oracle keeps
+    * the equivalent RE2 class ([[PyWhitespaceClass]]). */
   def scrapeClean(raw: Column): Column =
     regexp_replace(
-      trim(regexp_replace(raw, PyWhitespaceClass + "+", " ")),
+      graft.functions.PyText.collapseTrimCol(raw),
       "&amp;#x200B;", "")
 
   /** Step 3: analysis-time HTML strip (non-greedy, single pass). */

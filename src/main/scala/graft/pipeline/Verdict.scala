@@ -55,6 +55,22 @@ object Verdict {
     assemble(cleaned(transcripts, skipText), scanner(col("clean_text")), useRandomString)
   }
 
+  /** Typed rendering of the pipeline — `Dataset[Turn] → Dataset[TurnVerdict]`
+    * (compile-time field checks at the API boundary; the internals stay
+    * Column expressions so Catalyst optimizes them identically). */
+  def typed(turns: org.apache.spark.sql.Dataset[graft.model.Turn],
+            skipText: String = PiiRules.RedactionMessage,
+            useRandomString: Boolean = false): org.apache.spark.sql.Dataset[graft.model.TurnVerdict] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[graft.model.TurnVerdict]
+    apply(turns.toDF(), skipText, useRandomString)
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        col("clean_text").as("text"), col("skipped"),
+        col("sentiment_score"), col("sentiment_label"),
+        col("pii_risk_score"), col("pii_matches"),
+        col("keep"), col("scrubbed_text"))
+      .as[graft.model.TurnVerdict]
+  }
+
   /** Clean + F1 + skip-guard columns (shared with the conversation
     * layer's cross-turn variant so the chains can't drift). */
   private[pipeline] def cleaned(transcripts: DataFrame, skipText: String): DataFrame =

@@ -72,10 +72,8 @@ object Vader {
   private val punctChars: Set[Char] = """!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~""".toSet
 
   /** Python str.split() whitespace (unicode), matching the reference's
-    * tokenizer — see Clean.PyWhitespaceClass for the full set. */
-  private val pySplit = java.util.regex.Pattern.compile(
-    graft.pipeline.Clean.PyWhitespaceClass + "+")
-  private def splitPy(s: String): Array[String] = pySplit.split(s)
+    * tokenizer — single-pass scan, no regex (see PyText). */
+  private def splitPy(s: String): Array[String] = graft.functions.PyText.split(s)
 
   /** Curated subset of the published lexicon: `word value` per line. */
   private val lexiconData: String = """

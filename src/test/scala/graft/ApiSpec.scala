@@ -1,0 +1,35 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.model.Turn
+import graft.pipeline.Verdict
+
+/** Library API boundary: the typed Dataset transform and the SQL
+  * extension registration. */
+class ApiSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  test("typed pipeline: Dataset[Turn] -> Dataset[TurnVerdict]") {
+    import spark.implicits._
+    val ds = Seq(
+      Turn("c0", 0, "user", "reach me at a@b.io", "", new Timestamp(0L)),
+      Turn("c0", 1, "assistant", "all good here", "", new Timestamp(1000L))).toDS()
+    val out = Verdict.typed(ds).collect().sortBy(_.turn_idx)
+    out(0).keep shouldBe false
+    out(0).pii_matches.head.`type` shouldBe "email"
+    out(0).scrubbed_text shouldBe graft.rules.PiiRules.RedactionMessage
+    out(1).keep shouldBe true
+    out(1).scrubbed_text shouldBe "all good here"
+  }
+
+  test("pii_scan and vader_compound are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val rows = spark.sql(
+      "SELECT pii_scan('reach me at a@b.io') AS m, vader_compound('The book was good.') AS v").collect()
+    rows.head.getSeq[org.apache.spark.sql.Row](0).head.getString(0) shouldBe "email"
+    rows.head.getSeq[org.apache.spark.sql.Row](0).head.getDouble(2) shouldBe 1.0 // .95 + boost
+    rows.head.getDouble(1) shouldBe 0.4404
+  }
+}
