@@ -55,10 +55,14 @@ object Bench {
     // → repeat until the time plateaus (<10% improvement), report the best.
     def steady(f: => Unit): Double = {
       var best = timed(f)
+      var spent = best
       var improving = true
       var i = 0
-      while (i < 5 && improving) {
+      // stop on plateau (<10% improvement) or a 240s wall budget —
+      // low-core driver runs must not loop for many minutes
+      while (i < 5 && improving && spent < 240.0) {
         val t = timed(f)
+        spent += t
         improving = t < best * 0.9
         if (t < best) best = t
         i += 1
