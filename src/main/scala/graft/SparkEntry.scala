@@ -154,6 +154,7 @@ object SparkEntry {
         .orderBy(desc("turn_idx"), asc("conv_id")).limit(20)
         .select("conv_id", "turn_idx", "keep")),
     "q_langid" -> (operators.TextStats.langId _),
+    "q_perplexity" -> (operators.Perplexity.score _),
     "q_quality" -> (operators.TextStats.quality _),
     "q_token_count" -> (operators.TextStats.tokenCount _),
     "q_fingerprint" -> (operators.TextStats.fingerprint _)
@@ -194,6 +195,7 @@ object SparkEntry {
     "q_recent_turns" -> (Oracle.verdictCte +
       "\nSELECT conv_id, turn_idx, keep FROM verdict ORDER BY turn_idx DESC, conv_id ASC LIMIT 20"),
     "q_langid" -> operators.TextStats.langIdOracle,
+    "q_perplexity" -> operators.Perplexity.oracle,
     "q_quality" -> operators.TextStats.qualityOracle,
     "q_token_count" -> operators.TextStats.tokenCountOracle,
     "q_fingerprint" -> operators.TextStats.fingerprintOracle

@@ -85,6 +85,13 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkTestBase {
     }
   }
 
+  test("perplexity: corpus-trained bigram LM scores are finite, > 1, deterministic") {
+    val a = graft.operators.Perplexity.score(spark, dir).orderBy("doc_id").head(5)
+    val b = graft.operators.Perplexity.score(spark, dir).orderBy("doc_id").head(5)
+    a.map(_.getDouble(2)) shouldBe b.map(_.getDouble(2))
+    all(a.map(_.getDouble(2))) should be > 1.0
+  }
+
   test("token counts: regex segmentation never undercounts whitespace tokens") {
     TextStats.tokenCount(spark, dir)
       .filter(col("regex_tokens") < col("ws_tokens")).count() shouldBe 0L
