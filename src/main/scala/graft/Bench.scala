@@ -24,7 +24,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val nTurns = sys.env.getOrElse("SPARK_GRAFT_TURNS", "2000000").toLong
+    // default sized for an unknown-core driver run (~1-3 min total);
+    // the official BENCH/BASELINE.md numbers used SPARK_GRAFT_TURNS=8000000
+    val nTurns = sys.env.getOrElse("SPARK_GRAFT_TURNS", "1000000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
