@@ -76,13 +76,36 @@ object Bench {
     val tps = nTurns / tFused
     val tpsChain = nTurns / tChain
 
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = try timed(force(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
+      val sec = try timed(force(fn(spark, sfDir))) catch {
+        case e: Throwable =>
+          // a crashed query must be VISIBLE, never silently absent from the
+          // headline: log it and carry an explicit errors field in the JSON
+          System.err.println(s"[bench] $name FAILED: $e")
+          e.printStackTrace()
+          errors(name) = e.toString.take(200)
+          -1.0
+      }
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + tFused
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"turns":$nTurns,"keepdrop_sec_fused":$tFused,"keepdrop_sec_chain":$tChain,"turns_per_sec":$tps,"turns_per_sec_chain":$tpsChain}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"turns":$nTurns,"keepdrop_sec_fused":$tFused,"keepdrop_sec_chain":$tChain,"turns_per_sec":$tps,"turns_per_sec_chain":$tpsChain,"errors":$errJson}"""
+    println(line)
+    // sbt decorates forked stdout with "[info] ", which broke the driver's
+    // machine parse in round 1 (BENCH_r01 "parsed": null) → also write the
+    // bare line to a file the driver/judge can read directly.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH/last_bench.json")
+    try {
+      val p = java.nio.file.Paths.get(outFile)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, line + "\n")
+    } catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
+    if (errors.nonEmpty)
+      System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

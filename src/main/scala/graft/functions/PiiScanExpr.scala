@@ -4,7 +4,7 @@ import java.util.regex.Pattern
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,9 +21,11 @@ import graft.rules.{Pii, PiiRules}
  * Perf shape: the column chain evaluates `rlike(fp)` + `rlike(boost)` +
  * 6×`regexp_extract_all` + array HOFs per row — each re-reading the
  * text; this evaluates the gate first (one pass, short-circuit) and
- * touches the matchers only for gated-through rows. CodegenFallback is
- * acceptable: the body is one virtual call doing all the work, and the
- * surrounding projection still codegens.
+ * touches the matchers only for gated-through rows. The expression
+ * codegens to a direct static call ([[PiiScanExpr.doGenCode]]) so the
+ * hot loop is one monomorphic JVM call inside whole-stage codegen — no
+ * interpreted-eval dispatch, no per-row boxing (BENCH_r01 showed the
+ * CodegenFallback form inverting the headline under a cold driver JVM).
  */
 object PiiScan {
 
@@ -115,6 +117,11 @@ object PiiScan {
     }.toArray
   }
 
+  /** Codegen entry point (static forwarder): UTF8String in, ArrayData
+    * out — one call does the whole fused scan. */
+  def scanData(text: UTF8String): ArrayData =
+    new GenericArrayData(scan(text.toString).asInstanceOf[Array[Any]])
+
   def apply(c: Column): Column = {
     // Spark 4 hides Column↔Expression bridging; see GraftBridge
     import org.apache.spark.sql.GraftBridge
@@ -122,15 +129,16 @@ object PiiScan {
   }
 }
 
-case class PiiScanExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class PiiScanExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(Pii.piiMatchType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
   override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(PiiScan.scan(input.asInstanceOf[UTF8String].toString)
-      .asInstanceOf[Array[Any]])
+    PiiScan.scanData(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PiiScan.scanData($c)")
 
   override protected def withNewChildInternal(newChild: Expression): PiiScanExpr =
     copy(child = newChild)

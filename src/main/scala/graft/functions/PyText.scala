@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -64,18 +64,24 @@ object PyText {
     out.toArray
   }
 
+  /** Codegen entry point (static forwarder): UTF8String in/out. */
+  def collapseTrimUtf8(s: UTF8String): UTF8String =
+    UTF8String.fromString(collapseTrim(s.toString))
+
   def collapseTrimCol(c: Column): Column = {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(PyCollapseTrim(GraftBridge.expression(c)))
   }
 }
 
-/** Catalyst wrapper for [[PyText.collapseTrim]]. */
-case class PyCollapseTrim(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+/** Catalyst wrapper for [[PyText.collapseTrim]] — codegens to a direct
+  * static call so the clean chain stays inside whole-stage codegen. */
+case class PyCollapseTrim(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(PyText.collapseTrim(input.asInstanceOf[UTF8String].toString))
+    PyText.collapseTrimUtf8(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PyText.collapseTrimUtf8($c)")
   override protected def withNewChildInternal(newChild: Expression): PyCollapseTrim =
     copy(child = newChild)
   override def prettyName: String = "py_collapse_trim"

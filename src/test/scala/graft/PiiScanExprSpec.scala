@@ -38,6 +38,31 @@ class PiiScanExprSpec extends AnyFunSuite with Matchers with SparkTestBase {
     df.filter(expr("chain <> fused")).count() shouldBe 0L
   }
 
+  test("fused + collapse expressions really codegen (no silent interpreted fallback)") {
+    // Spark swallows janino compile errors and falls back to interpreted
+    // eval unless fallback is disabled — force-compile to prove doGenCode
+    // emits valid Java for both custom expressions.
+    import spark.implicits._
+    withSQLConf("spark.sql.codegen.fallback" -> "false",
+                "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY") {
+      val df = Seq("Dr. Ada Lovelace a@b.io", " x \u00a0 y ", "")
+        .toDF("t")
+        .select(PiiScan(col("t")).as("m"),
+          graft.functions.PyText.collapseTrimCol(col("t")).as("c"))
+      df.selectExpr("size(m)", "c").collect().map(_.getInt(0)).sum should be > 0
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val conf = spark.sessionState.conf
+    val saved = pairs.map { case (k, _) => k -> conf.getConfString(k, null) }
+    pairs.foreach { case (k, v) => conf.setConfString(k, v) }
+    try f finally saved.foreach {
+      case (k, null) => conf.unsetConf(k)
+      case (k, v) => conf.setConfString(k, v)
+    }
+  }
+
   test("risk score over fused matches equals chain risk") {
     val t = Transcripts.fromDocuments(spark, "/root/testdata/sf0.001")
       .withColumn("clean_text", pipeline.Clean.cleanText(col("text")))
