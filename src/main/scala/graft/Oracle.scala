@@ -238,6 +238,23 @@ object Oracle {
        |FROM llm
        |WHERE NOT skipped AND (risk_raw > 0.0 OR (llm_has_pii AND llm_confidence > 0.0))""".stripMargin
 
+  /** X-rewrite: the stub's suggestion is md5-derived, so the whole
+    * rewrite surface (flag → suggest → substitute) is SQL-expressible. */
+  val llmRewriteQuery: String =
+    s"""$verdictCte
+       |SELECT conv_id, turn_idx,
+       |  (NOT skipped AND contains(clean_text, '@')) AS llm_has_pii,
+       |  CASE WHEN (NOT skipped AND contains(clean_text, '@'))
+       |       THEN '[rewritten:' || substr(md5(clean_text), 1, 8) || ']'
+       |       ELSE clean_text END AS rewritten_text
+       |FROM verdict""".stripMargin
+
+  /** A6 denominator (the SQL-expressible half of displayed-avg). */
+  val displayedCountQuery: String =
+    s"""$verdictCte
+       |SELECT count(*) AS displayed_turns
+       |FROM verdict WHERE NOT skipped AND risk_raw > 0.0""".stripMargin
+
   /** X8 deterministic-UUID scrub mode (uuid4-shaped, sha256-derived). */
   val scrubUuidQuery: String =
     s"""$verdictCte

@@ -99,9 +99,14 @@ object SparkEntry {
         .select(col("total_turns"), col("skipped_turns"), col("processed_turns"),
           col("total_pii_turns"), col("dropped_turns"),
           round(col("max_risk_score"), 6).as("max_risk_score"))),
-    // A6: displayed-rows average (post-F4 denominator; rows-only check)
+    // A6: displayed-rows average (VADER-valued: rows-only check)
     "q_displayed_avg" -> ((s, dir) =>
       Metrics.displayedAvgSentiment(Verdict(transcripts(s, dir)))),
+    // A6 denominator alone — pure SQL, so it gets a real oracle
+    "q_displayed_count" -> ((s, dir) =>
+      Verdict(transcripts(s, dir))
+        .filter(!col("skipped") && col("pii_risk_score") > 0.0)
+        .agg(count(lit(1)).as("displayed_turns"))),
     // A7: per-conversation rollup (counts; one shuffled row per conv)
     "q_conv_rollup" -> ((s, dir) =>
       Verdict(transcripts(s, dir)).groupBy("conv_id").agg(
@@ -131,6 +136,11 @@ object SparkEntry {
           (col("pii_risk_score") > 0.0 ||
             (col("llm_has_pii") && col("llm_confidence") > 0.0)))
         .select("conv_id", "turn_idx")),
+    // X-rewrite (llm_detector.py:186-253): LLM-suggested PII-obscuring
+    // rewrite for flagged rows; clean text passes through otherwise
+    "q_llm_rewrite" -> ((s, dir) =>
+      pipeline.Llm.rewritten(s, transcripts(s, dir))
+        .select("conv_id", "turn_idx", "llm_has_pii", "rewritten_text")),
     // --- event-stream operators (batch twins of the streaming layer) ---
     "q_sessionize" -> (operators.Events.sessionize _),
     "q_session_stats" -> (operators.Events.sessionStats _),
@@ -177,6 +187,8 @@ object SparkEntry {
     "q_conv_rollup_salted" -> Oracle.convRollupQuery, // identical result to the direct rollup — the salt only reshapes the shuffle
     "q_llm_verdict" -> Oracle.llmVerdictQuery,
     "q_llm_pii_only" -> Oracle.llmPiiOnlyQuery,
+    "q_llm_rewrite" -> Oracle.llmRewriteQuery,
+    "q_displayed_count" -> Oracle.displayedCountQuery,
     "q_sessionize" -> operators.Events.sessionizeOracle,
     "q_session_stats" -> operators.Events.sessionStatsOracle,
     "q_tumbling" -> operators.Events.tumblingOracle,

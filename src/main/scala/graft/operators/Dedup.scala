@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.MinHashSig
 
 /**
  * Deduplication operators for the training-data pipeline: exact
@@ -12,21 +14,31 @@ import org.apache.spark.sql.functions._
  * and DuckDB), minhash components are fixed-width lowercase hex strings
  * (lexicographic min == numeric min), and shingling is defined over the
  * same `\s+` split in both engines — so each operator carries an exact
- * SQL oracle.
+ * SQL oracle. The Spark side computes signatures with the fused
+ * [[graft.functions.MinHashSig]] expression (one pass, 32 u32 minima in
+ * registers); the oracle keeps the composed md5/substr form — both are
+ * the same function, proven by the oracle gate and OperatorsSpec.
  *
  * Scale notes: exact dedup is one shuffle on the content hash; MinHash
  * signatures are embarrassingly parallel map-side work; the LSH
- * candidate join shuffles on (band, bucket) — tiny keys — and the
- * exact-Jaccard verification joins shingle sets back only for candidate
- * pairs (never all-pairs). At 100 TB the 32 per-shingle md5 passes would
- * be fused into one custom expression; the composed form is the
- * semantic baseline.
+ * candidate join shuffles on (band, bucket) — tiny keys. Two guards keep
+ * the candidate join from going quadratic at 100 TB:
+ *  - exact-duplicate texts collapse to one representative (min doc_id)
+ *    BEFORE banding — identical texts share every bucket and are already
+ *    reported by the exact stage;
+ *  - buckets larger than [[DefaultBucketCap]] (boilerplate/templated
+ *    text) are dropped from candidate generation, bounding the pair
+ *    count per bucket at cap²/2. Production would log the dropped
+ *    buckets' sizes for recall accounting.
  */
 object Dedup {
 
   val NumHashes = 32
   val Bands = 8
   val RowsPerBand = 4 // Bands * RowsPerBand == NumHashes
+
+  /** Max candidate-bucket size admitted to the LSH pair join. */
+  val DefaultBucketCap = 64
 
   // ---------- exact dedup ----------
 
@@ -47,35 +59,35 @@ object Dedup {
   // ---------- shingles + minhash ----------
 
   /** doc_id + distinct 3-word shingle set (docs with >= 3 tokens). */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+  private def shingledOver(docs: DataFrame): DataFrame =
+    docs
       .selectExpr("doc_id", "split(text, '\\\\s+') AS t")
       .filter("size(t) >= 3")
       .selectExpr("doc_id",
         "array_distinct(transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) AS sh")
 
-  private val shingledCte: String =
-    """WITH toks AS (
-      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
-      |), shingled AS (
-      |  SELECT doc_id,
-      |    list_distinct(list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-      |  FROM toks WHERE len(t) >= 3
-      |)""".stripMargin
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    shingledOver(spark.read.parquet(s"$dir/documents.parquet"))
+
+  /** Oracle-side shingling from a named source relation. */
+  private def shingledCteFrom(src: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM $src
+       |), shingled AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+       |  FROM toks WHERE len(t) >= 3
+       |)""".stripMargin
+
+  private val shingledCte: String = "WITH " + shingledCteFrom("documents")
 
   /** The NumHashes hash family is derived from EIGHT md5 digests per
     * shingle (8 x 32 = 256 hex chars), sliced into 32 8-hex (32-bit)
     * windows — 8 hashes per shingle instead of 32, identical in both
     * engines; fixed-width lowercase hex keeps lexicographic min ==
     * numeric min. (32 windows x 8 hex NEED 256 chars: slicing past the
-    * digest end silently yields '' and every band collides.) */
-  private val hhSpark: String = {
-    val digests = (0 until 8).map {
-      case 0 => "md5(s)"
-      case i => s"md5(concat('$i', s))"
-    }.mkString(", ")
-    s"transform(sh, s -> concat($digests)) AS hh"
-  }
+    * digest end silently yields '' and every band collides.) The oracle
+    * keeps this composed form; Spark runs the fused expression. */
   private val hhSql: String = {
     val digests = (0 until 8).map {
       case 0 => "md5(s)"
@@ -83,21 +95,18 @@ object Dedup {
     }.mkString(" || ")
     s"list_transform(sh, s -> $digests) AS hh"
   }
-  private def mhExprSpark(j: Int): String =
-    s"array_min(transform(hh, h -> substr(h, ${j * 8 + 1}, 8)))"
   private def mhExprSql(j: Int): String =
     s"list_min(list_transform(hh, h -> substr(h, ${j * 8 + 1}, 8)))"
 
+  /** doc_id + the 32-component signature array (fused expression). */
+  private def sigArr(docs: DataFrame): DataFrame =
+    shingledOver(docs).select(col("doc_id"), MinHashSig(col("sh")).as("mh"))
+
   /** Per-doc MinHash signature (NumHashes md5-derived components),
     * emitted as one comma-joined string for oracle comparability. */
-  def minhashSig(spark: SparkSession, dir: String): DataFrame = {
-    val mh = (0 until NumHashes).map(j => s"${mhExprSpark(j)} AS mh$j")
-    shingled(spark, dir)
-      .selectExpr("doc_id", hhSpark)
-      .selectExpr(Seq("doc_id") ++ mh: _*)
-      .selectExpr("doc_id",
-        s"concat_ws(',', ${(0 until NumHashes).map(j => s"mh$j").mkString(", ")}) AS sig")
-  }
+  def minhashSig(spark: SparkSession, dir: String): DataFrame =
+    sigArr(spark.read.parquet(s"$dir/documents.parquet"))
+      .selectExpr("doc_id", "array_join(mh, ',') AS sig")
 
   val minhashSigOracle: String = {
     val mh = (0 until NumHashes).map(j => s"${mhExprSql(j)} AS mh$j").mkString(",\n    ")
@@ -113,20 +122,39 @@ object Dedup {
 
   // ---------- LSH candidate pairs + exact Jaccard verification ----------
 
+  /** Exact-duplicate representatives: identical normalized text collapses
+    * to its min doc_id. One shuffle on the content hash; keeps identical
+    * texts (which share EVERY band bucket) out of the pair join. */
+  private def representatives(docs: DataFrame): DataFrame =
+    docs
+      .selectExpr("doc_id", "text",
+        "md5(lower(trim(regexp_replace(text, '\\\\s+', ' ')))) AS content_hash")
+      .withColumn("keep_id", min("doc_id").over(Window.partitionBy("content_hash")))
+      .filter(col("doc_id") === col("keep_id"))
+      .select("doc_id", "text")
+
   /** LSH: band each signature (Bands x RowsPerBand), bucket-join within
     * (band, bucket), verify candidates with exact Jaccard over distinct
-    * shingle sets. Output: all candidate pairs with their true Jaccard. */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).cache()
-    val mh = (0 until NumHashes).map(j => s"${mhExprSpark(j)} AS mh$j")
-    val sigs = sh.selectExpr("doc_id", hhSpark).selectExpr(Seq("doc_id") ++ mh: _*)
+    * shingle sets. Output: candidate pairs (among exact-dup
+    * representatives, from buckets <= cap) with their true Jaccard. */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsOver(spark.read.parquet(s"$dir/documents.parquet"))
+
+  def minhashPairsOver(docs: DataFrame, cap: Int = DefaultBucketCap): DataFrame = {
+    val sh = shingledOver(representatives(docs)).cache()
     val bandStructs = (0 until Bands).map { b =>
-      val cols = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}").mkString(", ")
+      val cols = (0 until RowsPerBand)
+        .map(r => s"element_at(mh, ${b * RowsPerBand + r + 1})").mkString(", ")
       s"struct($b AS band, md5(concat($cols)) AS bucket)"
     }.mkString(", ")
-    val banded = sigs
+    val banded = sh.select(col("doc_id"), MinHashSig(col("sh")).as("mh"))
       .selectExpr("doc_id", s"explode(array($bandStructs)) AS bb")
       .selectExpr("doc_id", "bb.band AS band", "bb.bucket AS bucket")
+      // bucket-size cap: one boilerplate bucket of n docs would emit
+      // n²/2 pairs; the window count shares the (band, bucket) shuffle
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("bsz") <= cap)
+      .drop("bsz")
     val pairs = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -139,13 +167,22 @@ object Dedup {
         "round(size(array_intersect(sha, shb)) / CAST(size(array_union(sha, shb)) AS DOUBLE), 6) AS jaccard")
   }
 
-  val minhashPairsOracle: String = {
+  def minhashPairsOracle: String = minhashPairsOracleWith(DefaultBucketCap)
+
+  def minhashPairsOracleWith(cap: Int): String = {
     val mh = (0 until NumHashes).map(j => s"${mhExprSql(j)} AS mh$j").mkString(",\n    ")
     val bandSelects = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}").mkString(" || ")
       s"SELECT doc_id, $b AS band, md5($cols) AS bucket FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
-    s"""$shingledCte,
+    s"""WITH reps AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      min(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keep_id
+       |    FROM documents)
+       |  WHERE doc_id = keep_id
+       |),
+       |${shingledCteFrom("reps")},
        |hashed AS (SELECT doc_id, $hhSql FROM shingled),
        |sigs AS (SELECT doc_id,
        |    $mh
@@ -153,9 +190,14 @@ object Dedup {
        |banded AS (
        |  $bandSelects
        |),
+       |capped AS (
+       |  SELECT doc_id, band, bucket FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded)
+       |  WHERE bsz <= $cap
+       |),
        |pairs AS (
        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-       |  FROM banded x JOIN banded y
+       |  FROM capped x JOIN capped y
        |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
        |)
        |SELECT p.a_id, p.b_id,

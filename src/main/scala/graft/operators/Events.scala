@@ -19,9 +19,10 @@ object Events {
 
   val SessionGapMicros: Long = 30L * 60 * 1000000 // 30 min
 
-  /** Gap-based sessionization: a gap > 30 min starts a new session;
-    * session ids are per-user ordinals under (ts, event_id) order. */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  /** Full sessionized frame: every event column + session_id. The window
+    * carries ts/value straight through, so downstream session rollups
+    * never re-join the events scan (one user_id shuffle total). */
+  private def sessionized(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("us", unix_micros(col("ts").cast("timestamp")))
@@ -30,8 +31,12 @@ object Events {
         when(col("gap").isNull || col("gap") > SessionGapMicros, 1L).otherwise(0L))
       .withColumn("session_id",
         sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select("user_id", "event_id", "session_id")
   }
+
+  /** Gap-based sessionization: a gap > 30 min starts a new session;
+    * session ids are per-user ordinals under (ts, event_id) order. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionized(spark, dir).select("user_id", "event_id", "session_id")
 
   val sessionizeOracle: String =
     s"""WITH g AS (
@@ -48,16 +53,15 @@ object Events {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
        |FROM f""".stripMargin
 
-  /** Session-level rollup: length, span, event count per session. */
-  def sessionStats(spark: SparkSession, dir: String): DataFrame = {
-    val s = sessionize(spark, dir)
-    spark.read.parquet(s"$dir/events.parquet")
-      .join(s, Seq("user_id", "event_id"))
+  /** Session-level rollup: length, span, event count per session —
+    * aggregates the sessionized frame directly (the group keys are a
+    * prefix of the window partitioning, so no second shuffle). */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame =
+    sessionized(spark, dir)
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
-        (max(unix_micros(col("ts").cast("timestamp"))) - min(unix_micros(col("ts").cast("timestamp")))).as("span_us"),
+        (max(col("us")) - min(col("us"))).as("span_us"),
         round(sum("value"), 6).as("sum_value"))
-  }
 
   val sessionStatsOracle: String =
     s"""WITH g AS (

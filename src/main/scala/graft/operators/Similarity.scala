@@ -7,17 +7,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * array<float>[64], label).
  *
  * Brute-force cosine top-k is the correctness baseline; the scale path
- * is random-hyperplane LSH (deterministic md5-seeded ±1 planes) that
- * prunes candidates to one bucket before scoring. All arithmetic is
- * float→double cast then left-to-right summation, identically phrased
- * in Spark and the DuckDB oracle, so scores agree bit-for-bit before
- * the 6dp rounding.
+ * is random-hyperplane LSH (deterministic md5-seeded ±1 planes) in the
+ * standard multi-table banded form: [[AnnTables]] independent tables of
+ * [[AnnPlanes]] planes each. Candidates = union over tables of
+ * same-bucket matches — recall grows with tables, per-bucket population
+ * shrinks 2^-planes, so the same-bucket join is O(T · N²/2^P) instead of
+ * round 1's O(N²/16). All arithmetic is float→double cast then
+ * left-to-right summation, identically phrased in Spark and the DuckDB
+ * oracle, so scores agree bit-for-bit before the 6dp rounding.
  *
  * Scale notes: brute-force is a broadcast of one query row against an
  * arbitrarily partitioned scan (no shuffle); top-k is
  * TakeOrderedAndProject (per-partition heap + driver merge of k rows).
- * LSH bucketing is map-side; the bucket filter prunes ~(1/2^planes) of
- * the corpus before any scoring.
+ * LSH bucketing is map-side; at production N, planes (P) scales as
+ * ~log2(N / target-bucket-size) and tables (T) buys back recall — both
+ * are parameters here, with the committed defaults sized so the sf0.01
+ * oracle stays non-trivially populated.
  */
 object Similarity {
 
@@ -25,16 +30,18 @@ object Similarity {
   val Planes = 8
 
   /** Deterministic ±1 hyperplanes: sign of the first md5 hex nibble of
-    * "p:d". Same literals are embedded in the SQL oracle. */
-  lazy val planes: IndexedSeq[IndexedSeq[Int]] = {
+    * "<seed>p:d". Same literals are embedded in the SQL oracle. */
+  private def planesFor(seed: String, n: Int): IndexedSeq[IndexedSeq[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until Planes).map { p =>
+    (0 until n).map { p =>
       (0 until Dim).map { d =>
-        val h = md.digest(s"$p:$d".getBytes("UTF-8"))
+        val h = md.digest(s"$seed$p:$d".getBytes("UTF-8"))
         if (((h(0) >> 4) & 0xf) < 8) 1 else -1
       }
     }
   }
+
+  lazy val planes: IndexedSeq[IndexedSeq[Int]] = planesFor("", Planes)
 
   /** dot(a, b) with float→double casts, summed left-to-right. */
   private def dotSpark(a: String, b: String): String =
@@ -84,71 +91,124 @@ object Similarity {
     (0 until nPlanes).map(p => s"CASE WHEN ${dot(p)} > 0 THEN ${1 << p} ELSE 0 END")
       .mkString(" + ")
 
-  private def planeLitSpark(p: Int): String =
-    "array(" + planes(p).map(v => s"$v.0D").mkString(", ") + ")"
-  private def planeLitSql(p: Int): String =
-    "[" + planes(p).map(v => s"$v.0").mkString(", ") + "]"
+  private def planeLitSpark(ps: IndexedSeq[IndexedSeq[Int]])(p: Int): String =
+    "array(" + ps(p).map(v => s"$v.0D").mkString(", ") + ")"
+  private def planeLitSql(ps: IndexedSeq[IndexedSeq[Int]])(p: Int): String =
+    "[" + ps(p).map(v => s"$v.0").mkString(", ") + "]"
 
   /** Per-vector LSH bucket id (map-side only; no shuffle). */
   def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val b = bucketExpr(p => dotSpark("embedding", planeLitSpark(p)))
+    val b = bucketExpr(p => dotSpark("embedding", planeLitSpark(planes)(p)))
     spark.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", s"CAST($b AS INT) AS bucket")
   }
 
   val lshBucketsOracle: String = {
-    val b = bucketExpr(p => dotSql("embedding", planeLitSql(p)))
+    val b = bucketExpr(p => dotSql("embedding", planeLitSql(planes)(p)))
     s"SELECT vec_id, CAST($b AS INT) AS bucket FROM embeddings"
   }
 
-  /** Planes used by the ANN-LSH query: coarser than [[Planes]] so the
-    * query bucket is populated even at small SF (recall/selectivity is a
-    * planes-count dial; 4 planes = 16 buckets). */
-  val AnnPlanes = 4
+  /** Multi-table banded LSH for the ANN/near-dup operators: each table
+    * is an independent [[AnnPlanes]]-plane hash (seed "t<i>:"), so a pair
+    * colliding in ANY table is a candidate. Tables buy recall, planes buy
+    * selectivity (2^-planes per-bucket mass). */
+  val AnnPlanes = 8
+  val AnnTables = 4
 
-  /** LSH-pruned ANN: score only vectors sharing the query's bucket. */
+  private lazy val tablePlanes: IndexedSeq[IndexedSeq[IndexedSeq[Int]]] =
+    (0 until AnnTables).map(t => planesFor(s"t$t:", AnnPlanes))
+
+  private def tableBucketSpark(t: Int, emb: String): String =
+    bucketExpr(p => dotSpark(emb, planeLitSpark(tablePlanes(t))(p)), AnnPlanes)
+  private def tableBucketSql(t: Int, emb: String): String =
+    bucketExpr(p => dotSql(emb, planeLitSql(tablePlanes(t))(p)), AnnPlanes)
+
+  /** (vec_id, tbl, bucket) — one row per vector per table (map-side). */
+  private def bandedTables(spark: SparkSession, dir: String): DataFrame = {
+    val structs = (0 until AnnTables)
+      .map(t => s"struct($t AS tbl, CAST(${tableBucketSpark(t, "embedding")} AS INT) AS bucket)")
+      .mkString(", ")
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", s"explode(array($structs)) AS tb")
+      .selectExpr("vec_id", "tb.tbl AS tbl", "tb.bucket AS bucket")
+  }
+
+  private val bandedTablesCte: String = {
+    val selects = (0 until AnnTables)
+      .map(t => s"SELECT vec_id, $t AS tbl, CAST(${tableBucketSql(t, "embedding")} AS INT) AS bucket FROM embeddings")
+      .mkString("\n  UNION ALL\n  ")
+    s"""banded AS (
+       |  $selects
+       |)""".stripMargin
+  }
+
+  /** LSH-pruned ANN: score only vectors sharing a bucket with the query
+    * in at least one table (union of [[AnnTables]] probes). */
   def annLsh(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val b = bucketExpr(p => dotSpark("embedding", planeLitSpark(p)), AnnPlanes)
+    import org.apache.spark.sql.functions.broadcast
+    val banded = bandedTables(spark, dir)
+    val qb = banded.filter("vec_id = 0").select("tbl", "bucket")
+    val cands = banded.join(broadcast(qb), Seq("tbl", "bucket"))
+      .filter("vec_id <> 0").select("vec_id").distinct()
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
-      .selectExpr("vec_id", "embedding", s"CAST($b AS INT) AS bucket")
-    val q = e.filter("vec_id = 0").selectExpr("embedding AS q", "bucket AS qb")
-    e.join(org.apache.spark.sql.functions.broadcast(q))
-      .filter("vec_id <> 0 AND bucket = qb")
+    val q = e.filter("vec_id = 0").selectExpr("embedding AS q")
+    e.join(cands, "vec_id")
+      .join(broadcast(q))
       .selectExpr("vec_id", s"round(${cosSpark("embedding", "q")}, 6) AS cosine")
       .orderBy(org.apache.spark.sql.functions.desc("cosine"),
         org.apache.spark.sql.functions.asc("vec_id"))
       .limit(k)
   }
 
-  /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus, then
-    * score only same-bucket pairs and keep cosine >= threshold (0.3 here: the synthetic corpus is near-orthogonal random vectors, so a production 0.9+ cut would be vacuous) — the
-    * scale path for embedding dedup (candidate generation is a bucket
-    * equi-join, never all-pairs). */
+  def annLshOracle(k: Int = 5): String =
+    s"""WITH $bandedTablesCte,
+       |cands AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM banded b JOIN banded q ON q.vec_id = 0
+       |    AND b.tbl = q.tbl AND b.bucket = q.bucket
+       |  WHERE b.vec_id <> 0
+       |)
+       |SELECT e.vec_id, round(${cosSql("e.embedding", "q.q")}, 6) AS cosine
+       |FROM embeddings e
+       |JOIN cands c ON c.vec_id = e.vec_id
+       |CROSS JOIN (SELECT embedding AS q FROM embeddings WHERE vec_id = 0) q
+       |ORDER BY cosine DESC, e.vec_id ASC LIMIT $k""".stripMargin
+
+  /** Embedding-cosine near-duplicate pairs: candidates = same-bucket
+    * pairs in ANY of the [[AnnTables]] tables (deduped), scored once,
+    * kept at cosine >= threshold (0.3 here: the synthetic corpus is
+    * near-orthogonal random vectors, so a production 0.9+ cut would be
+    * vacuous). Candidate generation is a (tbl, bucket) equi-join —
+    * never all-pairs — and per-bucket mass shrinks 2^-AnnPlanes. */
   def embedNearDup(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
-    val b = bucketExpr(p => dotSpark("embedding", planeLitSpark(p)), AnnPlanes)
+    import org.apache.spark.sql.functions.col
+    val banded = bandedTables(spark, dir)
+    val pairs = banded.as("x").join(banded.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
-      .selectExpr("vec_id", "embedding", s"CAST($b AS INT) AS bucket")
-    e.as("x").join(e.as("y"),
-        org.apache.spark.sql.functions.col("x.bucket") ===
-          org.apache.spark.sql.functions.col("y.bucket") &&
-          org.apache.spark.sql.functions.col("x.vec_id") <
-            org.apache.spark.sql.functions.col("y.vec_id"))
-      .selectExpr("x.vec_id AS a_id", "y.vec_id AS b_id",
-        s"round(${cosSpark("x.embedding", "y.embedding")}, 6) AS cosine")
+    pairs
+      .join(e.selectExpr("vec_id AS a_id", "embedding AS ea"), "a_id")
+      .join(e.selectExpr("vec_id AS b_id", "embedding AS eb"), "b_id")
+      .selectExpr("a_id", "b_id", s"round(${cosSpark("ea", "eb")}, 6) AS cosine")
       .filter(s"cosine >= $threshold")
   }
 
-  def embedNearDupOracle(threshold: Double = 0.3): String = {
-    val b = bucketExpr(p => dotSql("embedding", planeLitSql(p)), AnnPlanes)
-    s"""WITH bucketed AS (
-       |  SELECT vec_id, embedding, CAST($b AS INT) AS bucket FROM embeddings
+  def embedNearDupOracle(threshold: Double = 0.3): String =
+    s"""WITH $bandedTablesCte,
+       |pairs AS (
+       |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+       |  FROM banded x JOIN banded y
+       |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
        |)
-       |SELECT x.vec_id AS a_id, y.vec_id AS b_id,
-       |  round(${cosSql("x.embedding", "y.embedding")}, 6) AS cosine
-       |FROM bucketed x JOIN bucketed y
-       |  ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-       |WHERE round(${cosSql("x.embedding", "y.embedding")}, 6) >= $threshold""".stripMargin
-  }
+       |SELECT p.a_id, p.b_id,
+       |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS cosine
+       |FROM pairs p
+       |JOIN embeddings a ON a.vec_id = p.a_id
+       |JOIN embeddings b ON b.vec_id = p.b_id
+       |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= $threshold""".stripMargin
 
   /** IVF centroid ids: a deterministic coarse codebook — corpus vectors
     * 1..16 stand in for trained k-means centroids (training is an
@@ -157,18 +217,18 @@ object Similarity {
   val IvfCentroids = 16
 
   /** IVF cell assignment: nearest centroid by cosine (tie → smaller
-    * centroid id), via a broadcast join + window argmax. */
+    * centroid id), via a broadcast join + max_by partial aggregate (no
+    * per-vector sort; the combiner runs map-side). */
   def ivfCells(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, row_number, desc, asc}
+    import org.apache.spark.sql.functions.{broadcast, expr}
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val cents = e.filter(s"vec_id BETWEEN 1 AND $IvfCentroids")
       .selectExpr("vec_id AS cent_id", "embedding AS cent")
-    val scored = e.join(broadcast(cents))
-      .selectExpr("vec_id", s"cent_id", s"round(${cosSpark("embedding", "cent")}, 6) AS ccos")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(desc("ccos"), asc("cent_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select("vec_id", "cent_id")
+    e.join(broadcast(cents))
+      .selectExpr("vec_id", "cent_id", s"round(${cosSpark("embedding", "cent")}, 6) AS ccos")
+      .groupBy("vec_id")
+      // max over (ccos, -cent_id): highest cosine, ties to the smaller id
+      .agg(expr("max_by(cent_id, struct(ccos, -cent_id)) AS cent_id"))
   }
 
   val ivfCellsOracle: String =
@@ -188,7 +248,7 @@ object Similarity {
 
   /** IVF-probed ANN: search only the query's cell (nprobe = 1). */
   def annIvf(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, desc, asc}
+    import org.apache.spark.sql.functions.{broadcast, desc, asc}
     val cells = ivfCells(spark, dir)
     val e = spark.read.parquet(s"$dir/embeddings.parquet").join(cells, "vec_id")
     val q = e.filter("vec_id = 0").selectExpr("embedding AS qv", "cent_id AS qc")
@@ -216,15 +276,4 @@ object Similarity {
        |FROM cells CROSS JOIN (SELECT embedding AS qv, cent_id AS qc FROM cells WHERE vec_id = 0)
        |WHERE vec_id <> 0 AND cent_id = qc
        |ORDER BY cosine DESC, vec_id ASC LIMIT $k""".stripMargin
-
-  def annLshOracle(k: Int = 5): String = {
-    val b = bucketExpr(p => dotSql("embedding", planeLitSql(p)), AnnPlanes)
-    s"""WITH bucketed AS (
-       |  SELECT vec_id, embedding, CAST($b AS INT) AS bucket FROM embeddings
-       |)
-       |SELECT vec_id, round(${cosSql("embedding", "q")}, 6) AS cosine
-       |FROM bucketed CROSS JOIN (SELECT embedding AS q, bucket AS qb FROM bucketed WHERE vec_id = 0)
-       |WHERE vec_id <> 0 AND bucket = qb
-       |ORDER BY cosine DESC, vec_id ASC LIMIT $k""".stripMargin
-  }
 }

@@ -13,8 +13,14 @@ import org.apache.spark.sql.functions._
  * This is the parquet rendering of the Iceberg design (no Iceberg jars
  * in this sandbox): bucket dir == Iceberg partition `bucket(conv_id)`,
  * sidecar append == snapshot commit metadata. Atomicity per bucket comes
- * from the writer's _SUCCESS marker + the sidecar row being appended
- * only after the data write returns.
+ * from the writer's _SUCCESS marker + the sidecar row being written to a
+ * temp path and RENAMED into place only after the data write returns —
+ * an interrupted commit leaves no partial sidecar file, so resume never
+ * needs manual cleanup (it just recomputes the one uncommitted bucket).
+ *
+ * The per-bucket metrics ride the write itself via `Dataset.observe`
+ * (accumulator-backed), so committing a bucket is ONE pass over its
+ * data — no post-write re-read.
  *
  * At scale the input is a table partitioned by the same bucket function,
  * so each bucket job is partition-pruned rather than a filtered full
@@ -48,23 +54,37 @@ object Checkpoint {
     var committed = 0
     var rows = 0L
     import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     (0 until nBuckets).foreach { b =>
       if (!done.contains(b)) {
         if (failAfterBucket >= 0 && committed >= failAfterBucket)
           throw new RuntimeException(s"injected failure before bucket $b")
+        // metrics ride the write via observe — one pass per bucket
+        val obs = org.apache.spark.sql.Observation(s"bucket_$b")
         val verdict = Verdict(transcripts.filter(bucketOf(nBuckets) === b))
           .select("conv_id", "turn_idx", "role", "keep", "skipped",
             "pii_risk_score", "scrubbed_text")
+          .observe(obs, count(lit(1)).as("rows"),
+            sum(when(!col("keep"), 1L).otherwise(0L)).as("dropped"))
         verdict.write.mode(SaveMode.Overwrite).parquet(s"$outDir/bucket=$b")
-        // metrics row AFTER the data write: commit marker + lineage counters
-        val m = spark.read.parquet(s"$outDir/bucket=$b")
-          .agg(count(lit(1)), sum(when(!col("keep"), 1L).otherwise(0L)))
-          .head()
-        val n = m.getLong(0)
-        Seq((b, n, if (m.isNullAt(1)) 0L else m.getLong(1),
-            java.time.Instant.now().toString))
+        val m = obs.get
+        val n = m("rows").asInstanceOf[Long]
+        val dropped = Option(m("dropped")).fold(0L)(_.asInstanceOf[Long])
+        // sidecar row AFTER the data write: stage to a temp path, then an
+        // atomic rename into _sidecar — a crash mid-commit leaves no
+        // partial file for resume to choke on
+        val tmpDir = s"$outDir/_sidecar_tmp/b$b"
+        Seq((b, n, dropped, java.time.Instant.now().toString))
           .toDF("bucket", "rows", "dropped", "committed_at")
-          .write.mode(SaveMode.Append).parquet(sidecarDir)
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(tmpDir)
+        val part = fs.globStatus(
+          new org.apache.hadoop.fs.Path(tmpDir, "part-*.parquet"))(0).getPath
+        val sidecarPath = new org.apache.hadoop.fs.Path(sidecarDir)
+        if (!fs.exists(sidecarPath)) fs.mkdirs(sidecarPath)
+        fs.rename(part, new org.apache.hadoop.fs.Path(sidecarPath, s"commit-$b.parquet"))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/_sidecar_tmp"), true)
         committed += 1
         rows += n
       }

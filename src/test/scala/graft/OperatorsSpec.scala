@@ -43,6 +43,32 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkTestBase {
     rows.length should be < 1000
   }
 
+  test("LSH pair join is skew-safe: exact dups collapse to one representative") {
+    import spark.implicits._
+    // 1000 byte-identical docs + 20 distinct: without the representative
+    // stage this emits C(1000,2) ≈ 500k pairs from one bucket; with it,
+    // the identical texts contribute ZERO pairs (the exact stage owns them)
+    val docs = ((0 until 1000).map(i => (i.toLong, "the same boilerplate text repeated verbatim in every doc")) ++
+      (1000 until 1020).map(i => (i.toLong, s"unique document number $i about topic ${i % 7} with extra words"))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairsOver(docs).collect()
+    pairs.count(r => r.getLong(0) < 1000L && r.getLong(1) < 1000L) shouldBe 0
+    pairs.length should be < 200 // bounded: only the 20 distinct docs can pair
+  }
+
+  test("LSH bucket cap drops oversized candidate buckets") {
+    import spark.implicits._
+    // 100 distinct docs sharing one 3-token prefix shingle set won't all
+    // bucket together, so instead: same text + unique suffix token keeps
+    // most bands identical → buckets of ~100 > cap=8 get dropped
+    val docs = (0 until 100).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta iota kappa token$i")).toDF("doc_id", "text")
+    val capped = Dedup.minhashPairsOver(docs, cap = 8).count()
+    val uncapped = Dedup.minhashPairsOver(docs, cap = 1000000).count()
+    uncapped should be > 1000L // near-identical docs do flood the pair join
+    capped should be < uncapped // the cap visibly prunes it
+  }
+
   test("adjacent jaccard: symmetric-set measure stays in [0, 1]") {
     val rows = Dedup.jaccardAdjacent(spark, dir).collect()
     rows.length should be >= 490

@@ -39,6 +39,16 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     exchanges(Verdict(Transcripts.fromDocuments(spark, dir))) shouldBe 0
   }
 
+  test("fused LLM stage: one pass, no join, no shuffle") {
+    // round 1 derived the llm frame from the verdict and equi-joined it
+    // back (double pipeline + shuffle); the fused mapPartitions form must
+    // stay join- and exchange-free
+    val plan = executed(pipeline.Llm.withLlm(spark, Transcripts.fromDocuments(spark, dir)))
+    plan should not include "Join"
+    plan should not include "Exchange"
+    plan should include("MapPartitions")
+  }
+
   test("verdict pipeline runs inside WholeStageCodegen") {
     // codegen'd operators print with a "*(stageId)" prefix in toString
     executed(Verdict(Transcripts.fromDocuments(spark, dir))) should include regex "\\*\\(\\d+\\)"
