@@ -19,11 +19,16 @@ import scala.math.{abs, sqrt}
  *    ("FUNNY!!!" -> "FUNNY" but "good!!!!" survives unstripped and
  *    misses the lexicon).
  *
- * The lexicon is an embedded curated subset of the published
- * vader_lexicon (MIT); the full 7.5k-entry file is not redistributable
- *  inside this sandbox (zero egress). Values follow the published means
- * where known; the subset covers conversational English. Swapping in
- * the full lexicon is a drop-in string replacement.
+ * The lexicon is a bundled ~870-entry subset of the published
+ * ~7.5k-entry vader_lexicon (MIT) — src/main/resources/
+ * vader_lexicon_subset.txt, written from public knowledge of the file
+ * (this sandbox has no egress to fetch it). Values follow the published
+ * means where known and the published rating style otherwise; the
+ * residual gap is out-of-subset vocabulary scoring 0 where the full
+ * file would score it. Swapping in the complete file is a drop-in
+ * replacement of that one resource — the engine, the Python replica
+ * (tools/vader_ref.py), and the committed differential corpus all read
+ * the same file.
  */
 object Vader {
 
@@ -75,309 +80,13 @@ object Vader {
     * tokenizer — single-pass scan, no regex (see PyText). */
   private def splitPy(s: String): Array[String] = graft.functions.PyText.split(s)
 
-  /** Curated subset of the published lexicon: `word value` per line. */
-  private val lexiconData: String = """
-    |good 1.9
-    |great 3.1
-    |greatest 3.2
-    |excellent 2.7
-    |awesome 3.1
-    |amazing 2.8
-    |fantastic 2.6
-    |wonderful 2.7
-    |perfect 2.7
-    |best 3.2
-    |better 1.9
-    |love 3.2
-    |loved 2.9
-    |loves 2.7
-    |lovely 2.8
-    |like 1.5
-    |liked 1.7
-    |likes 1.6
-    |enjoy 2.2
-    |enjoyed 2.3
-    |happy 2.7
-    |happier 2.4
-    |glad 2.0
-    |joy 2.8
-    |smile 2.0
-    |thanks 1.9
-    |thank 1.5
-    |thankful 2.1
-    |grateful 2.3
-    |appreciate 1.9
-    |appreciated 2.1
-    |win 2.8
-    |winner 2.8
-    |winning 2.4
-    |won 2.7
-    |success 2.7
-    |successful 2.6
-    |nice 1.8
-    |cool 1.3
-    |fun 2.3
-    |funny 1.9
-    |smart 1.7
-    |handsome 2.2
-    |clever 2.0
-    |brilliant 2.8
-    |beautiful 2.9
-    |super 2.9
-    |superb 3.0
-    |impressive 2.3
-    |helpful 1.8
-    |help 1.7
-    |helps 1.6
-    |helped 1.8
-    |hope 1.9
-    |hopeful 2.0
-    |yes 1.7
-    |yay 2.4
-    |wow 2.8
-    |lol 1.6
-    |haha 2.0
-    |hehe 1.5
-    |kudos 2.3
-    |congrats 2.4
-    |congratulations 2.7
-    |correct 1.8
-    |safe 1.9
-    |secure 1.5
-    |improved 2.0
-    |improvement 1.9
-    |improve 1.9
-    |gain 1.6
-    |gains 1.6
-    |benefit 1.9
-    |benefits 1.9
-    |positive 2.3
-    |easy 1.9
-    |easier 1.8
-    |resolve 1.6
-    |resolved 1.7
-    |pleased 2.2
-    |pleasure 2.5
-    |promising 1.8
-    |recommend 1.6
-    |recommended 1.7
-    |reliable 1.9
-    |trust 2.3
-    |trusted 2.1
-    |valuable 2.1
-    |agree 1.5
-    |agreed 1.4
-    |celebrate 2.7
-    |comfort 1.5
-    |confident 2.2
-    |delight 2.9
-    |delighted 2.8
-    |eager 1.5
-    |efficient 1.8
-    |elegant 2.1
-    |encourage 1.9
-    |excited 2.4
-    |exciting 2.2
-    |favorite 2.0
-    |friendly 2.2
-    |generous 2.3
-    |gentle 1.7
-    |genius 2.6
-    |gorgeous 2.9
-    |innovative 1.9
-    |inspiring 2.3
-    |interesting 1.7
-    |kind 2.4
-    |ok 1.2
-    |okay 0.9
-    |fine 0.8
-    |well 1.1
-    |bad -2.5
-    |worse -2.1
-    |worst -3.1
-    |terrible -2.4
-    |awful -2.2
-    |horrible -2.5
-    |hate -2.7
-    |hated -2.6
-    |hates -2.3
-    |dislike -1.6
-    |angry -2.3
-    |anger -2.7
-    |mad -2.0
-    |sad -2.1
-    |unhappy -2.1
-    |fail -2.5
-    |failed -2.3
-    |failure -2.5
-    |fails -2.3
-    |broken -1.9
-    |bug -1.3
-    |bugs -1.4
-    |error -1.7
-    |errors -1.8
-    |wrong -2.1
-    |problem -1.7
-    |problems -1.7
-    |issue -1.1
-    |issues -1.2
-    |crash -1.9
-    |crashed -2.0
-    |slow -1.1
-    |pain -2.2
-    |painful -2.4
-    |annoying -1.8
-    |annoyed -1.9
-    |frustrating -2.1
-    |frustrated -2.4
-    |ugly -2.1
-    |stupid -2.4
-    |dumb -2.3
-    |idiot -2.3
-    |sucks -1.5
-    |suck -1.5
-    |sux -1.5
-    |crap -1.6
-    |shit -2.6
-    |damn -1.5
-    |hell -1.4
-    |kill -3.7
-    |killed -3.4
-    |death -2.9
-    |die -2.9
-    |died -3.2
-    |dead -3.3
-    |worry -1.8
-    |worried -1.8
-    |worries -1.8
-    |fear -2.2
-    |afraid -2.2
-    |scared -2.2
-    |scary -2.2
-    |danger -2.4
-    |dangerous -2.3
-    |risk -1.1
-    |risky -1.4
-    |lose -1.9
-    |loss -1.3
-    |lost -1.3
-    |no -1.2
-    |disappointing -2.2
-    |disappointed -2.3
-    |disaster -3.1
-    |mess -1.5
-    |messy -1.3
-    |useless -1.8
-    |worthless -2.5
-    |boring -1.3
-    |bored -1.4
-    |tired -1.2
-    |sick -2.0
-    |abuse -3.2
-    |abandoned -2.0
-    |anxious -1.9
-    |argue -1.6
-    |argument -1.6
-    |arrogant -2.2
-    |ashamed -2.1
-    |attack -2.1
-    |awkward -1.2
-    |betray -3.0
-    |blame -1.4
-    |bleak -1.9
-    |bother -1.4
-    |cheat -2.5
-    |complain -1.6
-    |complaint -1.6
-    |confused -1.4
-    |cruel -2.8
-    |cry -2.0
-    |damage -2.2
-    |defeat -1.9
-    |denied -1.7
-    |deny -1.3
-    |depressed -2.6
-    |destroy -2.7
-    |difficult -1.5
-    |dirty -1.8
-    |disgusting -2.7
-    |distress -2.4
-    |doubt -1.4
-    |dreadful -2.8
-    |embarrassed -1.9
-    |enemy -2.4
-    |evil -3.4
-    |fake -1.8
-    |fatal -2.8
-    |fault -1.8
-    |fight -1.7
-    |fired -2.4
-    |fool -1.9
-    |foolish -1.9
-    |fraud -3.0
-    |grief -2.2
-    |gross -2.1
-    |guilty -2.0
-    |harm -2.5
-    |harsh -1.9
-    |hurt -2.4
-    |ignore -1.5
-    |ignored -1.6
-    |insult -2.3
-    |jealous -2.0
-    |junk -1.6
-    |lazy -1.6
-    |liar -2.9
-    |lie -1.8
-    |lonely -1.9
-    |miserable -2.8
-    |mistake -1.7
-    |mistakes -1.7
-    |nasty -2.6
-    |negative -2.2
-    |nervous -1.9
-    |offend -2.0
-    |panic -2.4
-    |pathetic -2.6
-    |poor -2.1
-    |punish -2.2
-    |regret -1.9
-    |reject -1.9
-    |rejected -2.1
-    |ridiculous -1.6
-    |rude -2.2
-    |ruin -2.4
-    |selfish -2.2
-    |severe -1.8
-    |shame -2.1
-    |sorry -0.6
-    |steal -2.7
-    |stress -1.8
-    |stressed -2.0
-    |struggle -1.9
-    |stuck -1.2
-    |suspicious -1.5
-    |threat -2.4
-    |tragic -2.9
-    |trouble -1.9
-    |unfair -2.2
-    |unfortunate -1.9
-    |upset -1.9
-    |violence -3.1
-    |warn -1.2
-    |warning -1.4
-    |waste -1.8
-    |weak -1.9
-    |weird -0.7
-    |whine -1.5
-    |:) 1.3
-    |:-) 1.3
-    |:D 2.3
-    |:( -1.3
-    |:-( -1.3
-    |;) 1.1
-    |:/ -0.7
-    """.stripMargin
+  /** The lexicon: one `word value` line per entry, loaded from the
+    * bundled resource (single source of truth shared with the Python
+    * differential-corpus generator in tools/). */
+  private val lexiconData: String = {
+    val in = getClass.getResourceAsStream("/vader_lexicon_subset.txt")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
 
   val Lexicon: Map[String, Double] = lexiconData.linesIterator
     .map(_.trim).filter(_.nonEmpty)
