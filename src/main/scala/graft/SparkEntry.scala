@@ -151,6 +151,7 @@ object SparkEntry {
     "q_minhash_pairs" -> (operators.Dedup.minhashPairs _),
     "q_jaccard_adjacent" -> (operators.Dedup.jaccardAdjacent _),
     "q_simhash" -> (operators.Dedup.simhash _),
+    "q_simhash_pairs" -> (operators.Dedup.simhashPairs _),
     "q_cosine_adjacent" -> (operators.Similarity.cosineAdjacent _),
     "q_ann_topk" -> ((s, dir) => operators.Similarity.annTopK(s, dir)),
     "q_lsh_buckets" -> (operators.Similarity.lshBuckets _),
@@ -197,6 +198,7 @@ object SparkEntry {
     "q_minhash_pairs" -> operators.Dedup.minhashPairsOracle,
     "q_jaccard_adjacent" -> operators.Dedup.jaccardAdjacentOracle,
     "q_simhash" -> operators.Dedup.simhashOracle,
+    "q_simhash_pairs" -> operators.Dedup.simhashPairsOracle,
     "q_cosine_adjacent" -> operators.Similarity.cosineAdjacentOracle,
     "q_ann_topk" -> operators.Similarity.annTopKOracle(),
     "q_lsh_buckets" -> operators.Similarity.lshBucketsOracle,

@@ -223,6 +223,87 @@ object Dedup {
        |  round(len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
        |FROM shingled a JOIN shingled b ON b.doc_id = a.doc_id + 1""".stripMargin
 
+  // ---------- SimHash near-dup pairs (32-bit + Hamming-band join) ----------
+
+  val Sim2Bits = 32
+  val Sim2Bands = 4 // 8 bits per band
+  val Sim2MaxHamming = 3
+
+  /** 32-bit SimHash per doc (md5-derived 32-bit token hashes). */
+  private def simhash32(spark: SparkSession, dir: String): DataFrame = {
+    val bitSums = (0 until Sim2Bits).map { j =>
+      s"aggregate(hs, 0, (acc, h) -> acc + CASE WHEN (h div ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }
+    val sim = (0 until Sim2Bits)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "split(text, '\\\\s+') AS t")
+      .selectExpr("doc_id",
+        "transform(t, tok -> CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)) AS hs")
+      .selectExpr(Seq("doc_id") ++ bitSums: _*)
+      .selectExpr("doc_id", s"CAST($sim AS BIGINT) AS sim")
+  }
+
+  /** SimHash near-duplicate pairs, production shape: band each 32-bit
+    * fingerprint into 4 8-bit chunks, candidate-join on (band, chunk),
+    * verify with the true Hamming distance ≤ [[Sim2MaxHamming]]. With
+    * threshold = bands - 1 the pigeonhole guarantee is EXACT: any pair
+    * within distance 3 must agree on ≥ 1 of the 4 chunks, so banding
+    * loses nothing — the standard SimHash table design (Charikar'02 /
+    * Manku'07 shape; at 64-bit production width the same code runs with
+    * 16-bit chunks, whose selectivity on vocabulary-correlated corpora
+    * is far sharper than these demo-width 8-bit chunks). */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val s = simhash32(spark, dir)
+    val chunkBits = Sim2Bits / Sim2Bands
+    val bandStructs = (0 until Sim2Bands).map { b =>
+      s"struct($b AS band, shiftright(sim, ${b * chunkBits}) & ${(1 << chunkBits) - 1} AS chunk)"
+    }.mkString(", ")
+    val banded = s
+      .selectExpr("doc_id", "sim", s"explode(array($bandStructs)) AS bb")
+      .selectExpr("doc_id", "sim", "bb.band AS band", "bb.chunk AS chunk")
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .selectExpr("x.doc_id AS a_id", "y.doc_id AS b_id",
+        "x.sim AS sima", "y.sim AS simb")
+      .distinct()
+      .selectExpr("a_id", "b_id",
+        "CAST(bit_count(sima ^ simb) AS INT) AS hamming")
+      .filter(s"hamming <= $Sim2MaxHamming")
+  }
+
+  val simhashPairsOracle: String = {
+    val bitSums = (0 until Sim2Bits).map { j =>
+      s"list_reduce(list_transform(hs, h -> CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) AS s$j"
+    }.mkString(",\n    ")
+    val sim = (0 until Sim2Bits)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    val chunkBits = Sim2Bits / Sim2Bands
+    val bandSelects = (0 until Sim2Bands).map { b =>
+      s"SELECT doc_id, sim, $b AS band, (sim >> ${b * chunkBits}) & ${(1 << chunkBits) - 1} AS chunk FROM sims"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH hashed AS (
+       |  SELECT doc_id,
+       |    list_transform(regexp_split_to_array(text, '\\s+'), tok -> ('0x' || substr(md5(tok), 1, 8))::BIGINT) AS hs
+       |  FROM documents
+       |), bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM hashed
+       |), sims AS (
+       |  SELECT doc_id, CAST($sim AS BIGINT) AS sim FROM bits
+       |), banded AS (
+       |  $bandSelects
+       |), pairs AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id, x.sim AS sima, y.sim AS simb
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+       |)
+       |SELECT a_id, b_id, CAST(bit_count(xor(sima, simb)) AS INT) AS hamming
+       |FROM pairs WHERE bit_count(xor(sima, simb)) <= $Sim2MaxHamming""".stripMargin
+  }
+
   // ---------- SimHash (16-bit, md5-derived token hashes) ----------
 
   private val SimBits = 16

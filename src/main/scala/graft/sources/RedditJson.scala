@@ -35,6 +35,58 @@ object RedditJson {
         col("permalink"), col("id"))
       .filter(col("text") =!= "") // F1 (scraper.py:59)
 
+  /** S3 (api/reddit.py:155-191): authenticated comment-tree expansion —
+    * `replace_more(limit=None)` + tree flatten. The IO half (fetching
+    * "more" stubs from the endpoint) is client plumbing; the compute
+    * half — flattening an arbitrarily nested comment forest into rows —
+    * is this iterative explode: one narrow, shuffle-free explode per
+    * depth level (schema-driven; terminates when the inferred schema has
+    * no deeper `replies.data.children`), unioned by name. "more" stubs
+    * are skipped (kind <> "t1"); a real client expands them by
+    * fetch-and-append BEFORE the flatten, which leaves this plan
+    * unchanged. Emits (id, parent_id, depth) so the tree is losslessly
+    * reconstructible downstream. */
+  def parseTree(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    def hasDeeperChildren(dt: DataType): Boolean = dt match {
+      case s: StructType if s.fieldNames.contains("replies") =>
+        s("replies").dataType match {
+          case r: StructType if r.fieldNames.contains("data") =>
+            r("data").dataType match {
+              case d: StructType => d.fieldNames.contains("children")
+              case _ => false
+            }
+          case _ => false
+        }
+      case _ => false
+    }
+    val raw = spark.read.option("multiLine", "true").json(path)
+    var level = raw.select(explode(col("data.children")).as("c"))
+      .select(col("c.kind").as("kind"), col("c.data").as("d"),
+        lit(null).cast("string").as("parent_id"), lit(0).as("depth"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var depth = 0
+    var more = true
+    while (more) {
+      val comments = level.filter(col("kind") === "t1" && col("d.body").isNotNull)
+      out += comments
+        .select(col("d.id").as("id"), col("parent_id"),
+          Clean.scrapeClean(col("d.body")).as("text"),
+          col("d.ups").cast("int").as("upvotes"),
+          col("d.downs").cast("int").as("downvotes"),
+          col("depth"))
+        .filter(col("text") =!= "")
+      if (hasDeeperChildren(level.schema("d").dataType)) {
+        depth += 1
+        level = comments
+          .select(col("d.id").as("pid"), explode(col("d.replies.data.children")).as("c"))
+          .select(col("c.kind").as("kind"), col("c.data").as("d"),
+            col("pid").as("parent_id"), lit(depth).as("depth"))
+      } else more = false
+    }
+    out.reduce(_ unionByName _)
+  }
+
   /** The reference's user-scan variant adds server-side sort/limit
     * (O1/O2); re-expressed as orderBy + limit over the same rows. */
   def parseUser(spark: SparkSession, path: String, sort: String = "new",

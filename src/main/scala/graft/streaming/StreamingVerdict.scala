@@ -45,6 +45,15 @@ object StreamingVerdict {
    * turn order within a conversation is the north rule's stable order),
    * carrying the previous turn's context-keyword flag and the cumulative
    * drop count in state.
+   *
+   * Memory bound: the in-place sort buffers one conversation's rows of
+   * ONE micro-batch (4 slim fields per row) — bounded by trigger
+   * interval x per-conversation arrival rate, NOT conversation lifetime
+   * (the cross-batch part lives in the 3-field ConvState). A turn-order
+   * total sort without buffering is not expressible in
+   * flatMapGroupsWithState; if a single conversation can flood a single
+   * micro-batch, bound the trigger (maxOffsetsPerTrigger /
+   * maxFilesPerTrigger) — the per-group buffer scales down linearly.
    */
   def conversationState(spark: SparkSession, stream: DataFrame): DataFrame = {
     import spark.implicits._
@@ -57,12 +66,14 @@ object StreamingVerdict {
         (convId: String, rows: Iterator[(String, Int, Boolean, Boolean)],
          state: GroupState[ConvState]) => {
           var s = state.getOption.getOrElse(ConvState(lastBoost = false, 0L, 0L))
-          val out = rows.toSeq.sortBy(_._2).map { case (_, idx, keep, ownBoost) =>
+          val buf = rows.toArray
+          java.util.Arrays.sort(buf, Ordering.by[(String, Int, Boolean, Boolean), Int](_._2))
+          val out = buf.iterator.map { case (_, idx, keep, ownBoost) =>
             val upd = ConvUpdate(convId, idx, keep, s.lastBoost,
               s.cumDropped + (if (keep) 0 else 1))
             s = ConvState(ownBoost, upd.cum_dropped, s.turns + 1)
             upd
-          }
+          }.toArray
           state.update(s)
           out.iterator
         }).toDF()

@@ -53,6 +53,40 @@ class SourcesSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .head().getAs[String]("id") shouldBe "c10"
   }
 
+  private lazy val treeFixture: String = {
+    // comment-tree shape: replies nest listings recursively; one "more"
+    // stub (kind=more, skipped), one deleted body (null), depth 3
+    val json =
+      """{"kind": "Listing", "data": {"children": [
+        |  {"kind": "t1", "data": {"id": "a", "body": "root comment A", "ups": 4, "downs": 0,
+        |    "replies": {"kind": "Listing", "data": {"children": [
+        |      {"kind": "t1", "data": {"id": "a1", "body": "reply to A", "ups": 2, "downs": 0,
+        |        "replies": {"kind": "Listing", "data": {"children": [
+        |          {"kind": "t1", "data": {"id": "a1x", "body": "deep reply", "ups": 1, "downs": 0}},
+        |          {"kind": "more", "data": {"id": "m1", "count": 12}}
+        |        ]}}}},
+        |      {"kind": "t1", "data": {"id": "a2", "body": null, "ups": 0, "downs": 0}}
+        |    ]}}}},
+        |  {"kind": "t1", "data": {"id": "b", "body": "root comment B", "ups": 7, "downs": 1}},
+        |  {"kind": "more", "data": {"id": "m0", "count": 3}}
+        |]}}""".stripMargin
+    val f = Files.createTempFile("tree", ".json")
+    Files.writeString(f, json)
+    f.toString
+  }
+
+  test("S3 tree expansion: recursive flatten with depth + parent lineage") {
+    val rows = RedditJson.parseTree(spark, treeFixture).collect()
+      .map(r => r.getAs[String]("id") ->
+        (r.getAs[String]("parent_id"), r.getAs[Int]("depth"), r.getAs[String]("text"))).toMap
+    // a2 (null body) and the two "more" stubs are excluded
+    rows.keySet shouldBe Set("a", "b", "a1", "a1x")
+    rows("a") shouldBe ((null, 0, "root comment A"))
+    rows("b") shouldBe ((null, 0, "root comment B"))
+    rows("a1") shouldBe (("a", 1, "reply to A"))
+    rows("a1x") shouldBe (("a1", 2, "deep reply"))
+  }
+
   test("X9: direct JSON, fenced JSON, think-prefixed, and garbage responses") {
     import spark.implicits._
     val direct = """{"has_pii": true, "confidence": 0.9, "details": [{"type": "email", "example": "a@b.c"}], "reasoning": "found email", "risk_factors": ["email"]}"""
