@@ -166,6 +166,7 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "keep")),
     "q_langid" -> (operators.TextStats.langId _),
     "q_perplexity" -> (operators.Perplexity.score _),
+    "q_perplexity_topv" -> ((s, dir) => operators.Perplexity.scoreTopV(s, dir)),
     "q_quality" -> (operators.TextStats.quality _),
     "q_token_count" -> (operators.TextStats.tokenCount _),
     "q_fingerprint" -> (operators.TextStats.fingerprint _)
@@ -210,6 +211,7 @@ object SparkEntry {
       "\nSELECT conv_id, turn_idx, keep FROM verdict ORDER BY turn_idx DESC, conv_id ASC LIMIT 20"),
     "q_langid" -> operators.TextStats.langIdOracle,
     "q_perplexity" -> operators.Perplexity.oracle,
+    "q_perplexity_topv" -> operators.Perplexity.topVOracle(),
     "q_quality" -> operators.TextStats.qualityOracle,
     "q_token_count" -> operators.TextStats.tokenCountOracle,
     "q_fingerprint" -> operators.TextStats.fingerprintOracle

@@ -217,8 +217,13 @@ object Similarity {
   val IvfCentroids = 16
 
   /** IVF cell assignment: nearest centroid by cosine (tie → smaller
-    * centroid id), via a broadcast join + max_by partial aggregate (no
-    * per-vector sort; the combiner runs map-side). */
+    * centroid id), via a broadcast join + max_by HASH aggregate: the
+    * ordering (ccos, -cent_id) is packed into one BIGINT (ccos is
+    * 6dp-rounded so ccos*1e6 is integral; cent_id < 1024), keeping the
+    * aggregation buffer fixed-width → HashAggregate with a map-side
+    * combiner, no sort anywhere (a struct ordering would force
+    * SortAggregate; the row_number window would shuffle all candidate
+    * rows instead of one row per vector). */
   def ivfCells(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, expr}
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -227,8 +232,8 @@ object Similarity {
     e.join(broadcast(cents))
       .selectExpr("vec_id", "cent_id", s"round(${cosSpark("embedding", "cent")}, 6) AS ccos")
       .groupBy("vec_id")
-      // max over (ccos, -cent_id): highest cosine, ties to the smaller id
-      .agg(expr("max_by(cent_id, struct(ccos, -cent_id)) AS cent_id"))
+      .agg(expr(
+        "max_by(cent_id, CAST(round(ccos * 1000000) AS BIGINT) * 1024 - cent_id) AS cent_id"))
   }
 
   val ivfCellsOracle: String =

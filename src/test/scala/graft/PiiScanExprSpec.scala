@@ -48,8 +48,9 @@ class PiiScanExprSpec extends AnyFunSuite with Matchers with SparkTestBase {
       val df = Seq("Dr. Ada Lovelace a@b.io", " x \u00a0 y ", "")
         .toDF("t")
         .select(PiiScan(col("t")).as("m"),
-          graft.functions.PyText.collapseTrimCol(col("t")).as("c"))
-      df.selectExpr("size(m)", "c").collect().map(_.getInt(0)).sum should be > 0
+          graft.functions.PyText.collapseTrimCol(col("t")).as("c"),
+          graft.functions.MinHashSig(split(col("t"), " ")).as("mh"))
+      df.selectExpr("size(m)", "c", "size(mh)").collect().map(_.getInt(0)).sum should be > 0
     }
   }
 

@@ -90,6 +90,26 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     exchanges(r) shouldBe 1
   }
 
+  test("IVF cells: broadcast centroids + max_by hash aggregate (no window, no sort)") {
+    val plan = executed(Similarity.ivfCells(spark, dir))
+    // the centroid side is keyless-broadcast (16 rows against every vec)
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "Window"
+    plan should not include "SortAggregate"
+    plan should include("partial_max_by") // map-side combine: 1 row/vec crosses the shuffle
+  }
+
+  test("top-V perplexity: every model join broadcasts (doc side never shuffles into it)") {
+    val plan = executed(graft.operators.Perplexity.scoreTopV(spark, dir))
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("minhash pipeline runs the fused signature expression") {
+    val plan = executed(graft.operators.Dedup.minhashSig(spark, dir))
+    plan should include("minhash_sig")
+  }
+
   test("salted rollup has two exchanges (salt partial + merge) by design") {
     val r = pipeline.Conversation.rollupSalted(Verdict(Transcripts.fromDocuments(spark, dir)))
     exchanges(r) shouldBe 2
