@@ -91,16 +91,20 @@ object Similarity {
     (0 until nPlanes).map(p => s"CASE WHEN ${dot(p)} > 0 THEN ${1 << p} ELSE 0 END")
       .mkString(" + ")
 
-  private def planeLitSpark(ps: IndexedSeq[IndexedSeq[Int]])(p: Int): String =
-    "array(" + ps(p).map(v => s"$v.0D").mkString(", ") + ")"
   private def planeLitSql(ps: IndexedSeq[IndexedSeq[Int]])(p: Int): String =
     "[" + ps(p).map(v => s"$v.0").mkString(", ") + "]"
 
-  /** Per-vector LSH bucket id (map-side only; no shuffle). */
+  private def planesD(ps: IndexedSeq[IndexedSeq[Int]]): Seq[Seq[Double]] =
+    ps.map(_.map(_.toDouble).toSeq).toSeq
+
+  /** Per-vector LSH bucket id (map-side only; no shuffle). Spark runs
+    * the fused codegen'd [[graft.functions.LshBucket]] (identical
+    * arithmetic); the oracle keeps the composed per-plane form. */
   def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val b = bucketExpr(p => dotSpark("embedding", planeLitSpark(planes)(p)))
+    import org.apache.spark.sql.functions.col
     spark.read.parquet(s"$dir/embeddings.parquet")
-      .selectExpr("vec_id", s"CAST($b AS INT) AS bucket")
+      .select(col("vec_id"),
+        graft.functions.LshBucket(col("embedding"), planesD(planes)).as("bucket"))
   }
 
   val lshBucketsOracle: String = {
@@ -118,19 +122,20 @@ object Similarity {
   private lazy val tablePlanes: IndexedSeq[IndexedSeq[IndexedSeq[Int]]] =
     (0 until AnnTables).map(t => planesFor(s"t$t:", AnnPlanes))
 
-  private def tableBucketSpark(t: Int, emb: String): String =
-    bucketExpr(p => dotSpark(emb, planeLitSpark(tablePlanes(t))(p)), AnnPlanes)
   private def tableBucketSql(t: Int, emb: String): String =
     bucketExpr(p => dotSql(emb, planeLitSql(tablePlanes(t))(p)), AnnPlanes)
 
-  /** (vec_id, tbl, bucket) — one row per vector per table (map-side). */
+  /** (vec_id, tbl, bucket) — one row per vector per table (map-side;
+    * all T·P dot products fused into one codegen'd pass per table). */
   private def bandedTables(spark: SparkSession, dir: String): DataFrame = {
-    val structs = (0 until AnnTables)
-      .map(t => s"struct($t AS tbl, CAST(${tableBucketSpark(t, "embedding")} AS INT) AS bucket)")
-      .mkString(", ")
+    import org.apache.spark.sql.functions.{array, col, explode, lit, struct}
+    val structs = (0 until AnnTables).map { t =>
+      struct(lit(t).as("tbl"),
+        graft.functions.LshBucket(col("embedding"), planesD(tablePlanes(t))).as("bucket"))
+    }
     spark.read.parquet(s"$dir/embeddings.parquet")
-      .selectExpr("vec_id", s"explode(array($structs)) AS tb")
-      .selectExpr("vec_id", "tb.tbl AS tbl", "tb.bucket AS bucket")
+      .select(col("vec_id"), explode(array(structs: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
   }
 
   private val bandedTablesCte: String = {
