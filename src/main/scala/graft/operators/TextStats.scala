@@ -75,7 +75,9 @@ object TextStats {
       .selectExpr("doc_id",
         "size(t) AS n_tokens",
         "round(length(replace(text, ' ', '')) / CAST(size(t) AS DOUBLE), 6) AS mean_tok_len",
-        "round(length(regexp_replace(text, '[^0-9]', '')) / CAST(length(text) AS DOUBLE), 6) AS digit_ratio",
+        // digit count via translate (codegen'd char scan) — same value as
+        // the oracle's regexp_replace strip, no regex on the hot path
+        "round((length(text) - length(translate(text, '0123456789', ''))) / CAST(length(text) AS DOUBLE), 6) AS digit_ratio",
         s"size(array_intersect(array_distinct(transform(t, x -> lower(x))), $en)) AS stop_hits")
       .selectExpr("doc_id", "n_tokens", "mean_tok_len", "digit_ratio", "stop_hits",
         "round(0.4 * least(1.0, n_tokens / 50.0) + 0.3 * (1.0 - digit_ratio) + 0.3 * least(1.0, stop_hits / 8.0), 6) AS quality_score")
@@ -119,14 +121,16 @@ object TextStats {
       |FROM documents""".stripMargin
 
   /** Fingerprinting: full-content md5 plus a winnowing-style min hash
-    * over character 8-grams (robust to local edits). */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    * over character 8-grams (robust to local edits). Spark runs the
+    * fused [[graft.functions.FingerprintMin]] (one pass, one u64 min);
+    * the oracle keeps the composed transform/array_min form. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, md5}
     spark.read.parquet(s"$dir/documents.parquet")
-      .selectExpr("doc_id",
-        "md5(text) AS content_md5",
-        """CASE WHEN length(text) >= 8
-          |  THEN array_min(transform(sequence(1, length(text) - 7), i -> substr(md5(substr(text, i, 8)), 1, 16)))
-          |  ELSE substr(md5(text), 1, 16) END AS min_shingle_hash""".stripMargin)
+      .select(col("doc_id"),
+        md5(col("text")).as("content_md5"),
+        graft.functions.FingerprintMin(col("text")).as("min_shingle_hash"))
+  }
 
   val fingerprintOracle: String =
     """SELECT doc_id,
