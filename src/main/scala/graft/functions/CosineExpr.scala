@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/**
+ * Fused cosine similarity over two float[] columns — arithmetic
+ * LITERALLY the composed form the DuckDB oracle runs
+ * (operators/Similarity.scala): each element cast float→double,
+ * products summed left-to-right from 0.0, three independent sums
+ * (a·b, a·a, b·b), then dot / (sqrt·sqrt). The composed Spark form is
+ * three `aggregate(zip_with(...))` higher-order-function chains per
+ * pair (6·dim interpreted lambda calls); this is one codegen'd loop.
+ * Bit-identical by construction, and proven by the oracle gate on every
+ * similarity query.
+ */
+object Cosine {
+
+  /** Codegen entry point (static forwarder). */
+  def cos(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var ab = 0.0
+    var aa = 0.0
+    var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      ab += x * y
+      aa += x * x
+      bb += y * y
+      i += 1
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  def apply(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(CosineExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+}
+
+case class CosineExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Cosine.cos(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Cosine.cos($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cosine"
+}

@@ -229,19 +229,15 @@ object Dedup {
   val Sim2Bands = 4 // 8 bits per band
   val Sim2MaxHamming = 3
 
-  /** 32-bit SimHash per doc (md5-derived 32-bit token hashes). */
+  /** 32-bit SimHash per doc (md5-derived 32-bit token hashes), via the
+    * fused [[graft.functions.SimHash]] expression (oracle keeps the
+    * composed per-bit aggregate form). */
   private def simhash32(spark: SparkSession, dir: String): DataFrame = {
-    val bitSums = (0 until Sim2Bits).map { j =>
-      s"aggregate(hs, 0, (acc, h) -> acc + CASE WHEN (h div ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s$j"
-    }
-    val sim = (0 until Sim2Bits)
-      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    import org.apache.spark.sql.functions.col
     spark.read.parquet(s"$dir/documents.parquet")
       .selectExpr("doc_id", "split(text, '\\\\s+') AS t")
-      .selectExpr("doc_id",
-        "transform(t, tok -> CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)) AS hs")
-      .selectExpr(Seq("doc_id") ++ bitSums: _*)
-      .selectExpr("doc_id", s"CAST($sim AS BIGINT) AS sim")
+      .select(col("doc_id"),
+        graft.functions.SimHash(col("t"), hexLen = Sim2Bits / 4).as("sim"))
   }
 
   /** SimHash near-duplicate pairs, production shape: band each 32-bit
@@ -309,17 +305,12 @@ object Dedup {
   private val SimBits = 16
 
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val bitSums = (0 until SimBits).map { j =>
-      s"aggregate(hs, 0, (acc, h) -> acc + CASE WHEN (h div ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s$j"
-    }
-    val simhash = (0 until SimBits)
-      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    import org.apache.spark.sql.functions.col
     spark.read.parquet(s"$dir/documents.parquet")
       .selectExpr("doc_id", "split(text, '\\\\s+') AS t")
-      .selectExpr("doc_id",
-        "transform(t, tok -> CAST(conv(substr(md5(tok), 1, 4), 16, 10) AS INT)) AS hs")
-      .selectExpr(Seq("doc_id") ++ bitSums: _*)
-      .selectExpr("doc_id", s"CAST($simhash AS INT) AS simhash")
+      .select(col("doc_id"),
+        graft.functions.SimHash(col("t"), hexLen = SimBits / 4)
+          .cast("int").as("simhash"))
   }
 
   val simhashOracle: String = {

@@ -43,23 +43,25 @@ object Similarity {
 
   lazy val planes: IndexedSeq[IndexedSeq[Int]] = planesFor("", Planes)
 
-  /** dot(a, b) with float→double casts, summed left-to-right. */
-  private def dotSpark(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+  /** dot(a, b) with float→double casts, summed left-to-right — the
+    * oracle-side rendering; Spark runs [[graft.functions.Cosine]] /
+    * [[graft.functions.LshBucket]] with the same arithmetic. */
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, $Dim), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
 
-  private def cosSpark(a: String, b: String): String =
-    s"${dotSpark(a, b)} / (sqrt(${dotSpark(a, a)}) * sqrt(${dotSpark(b, b)}))"
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
-  /** Cosine between adjacent vec_ids — dense probe of the kernel. */
+  /** Cosine between adjacent vec_ids — dense probe of the kernel. The
+    * Spark side scores with the fused codegen'd [[graft.functions.Cosine]]
+    * (bit-identical arithmetic); the oracle keeps the composed HOF form. */
   def cosineAdjacent(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, round}
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     e.selectExpr("vec_id AS a_id", "embedding AS ea")
       .join(e.selectExpr("vec_id - 1 AS a_id", "vec_id AS b_id", "embedding AS eb"), "a_id")
-      .selectExpr("a_id", "b_id", s"round(${cosSpark("ea", "eb")}, 6) AS cosine")
+      .select(col("a_id"), col("b_id"),
+        round(graft.functions.Cosine(col("ea"), col("eb")), 6).as("cosine"))
   }
 
   val cosineAdjacentOracle: String =
@@ -73,11 +75,12 @@ object Similarity {
   def annTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = e.filter("vec_id = 0").selectExpr("embedding AS q")
+    import org.apache.spark.sql.functions.{asc, broadcast, col, desc, round}
     e.filter("vec_id <> 0")
-      .join(org.apache.spark.sql.functions.broadcast(q))
-      .selectExpr("vec_id", s"round(${cosSpark("embedding", "q")}, 6) AS cosine")
-      .orderBy(org.apache.spark.sql.functions.desc("cosine"),
-        org.apache.spark.sql.functions.asc("vec_id"))
+      .join(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.functions.Cosine(col("embedding"), col("q")), 6).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
   }
 
@@ -157,11 +160,12 @@ object Similarity {
       .filter("vec_id <> 0").select("vec_id").distinct()
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = e.filter("vec_id = 0").selectExpr("embedding AS q")
+    import org.apache.spark.sql.functions.{asc, col, desc, round}
     e.join(cands, "vec_id")
       .join(broadcast(q))
-      .selectExpr("vec_id", s"round(${cosSpark("embedding", "q")}, 6) AS cosine")
-      .orderBy(org.apache.spark.sql.functions.desc("cosine"),
-        org.apache.spark.sql.functions.asc("vec_id"))
+      .select(col("vec_id"),
+        round(graft.functions.Cosine(col("embedding"), col("q")), 6).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
   }
 
@@ -194,10 +198,12 @@ object Similarity {
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
       .distinct()
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    import org.apache.spark.sql.functions.round
     pairs
       .join(e.selectExpr("vec_id AS a_id", "embedding AS ea"), "a_id")
       .join(e.selectExpr("vec_id AS b_id", "embedding AS eb"), "b_id")
-      .selectExpr("a_id", "b_id", s"round(${cosSpark("ea", "eb")}, 6) AS cosine")
+      .select(col("a_id"), col("b_id"),
+        round(graft.functions.Cosine(col("ea"), col("eb")), 6).as("cosine"))
       .filter(s"cosine >= $threshold")
   }
 
@@ -234,8 +240,10 @@ object Similarity {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val cents = e.filter(s"vec_id BETWEEN 1 AND $IvfCentroids")
       .selectExpr("vec_id AS cent_id", "embedding AS cent")
+    import org.apache.spark.sql.functions.{col, round}
     e.join(broadcast(cents))
-      .selectExpr("vec_id", "cent_id", s"round(${cosSpark("embedding", "cent")}, 6) AS ccos")
+      .select(col("vec_id"), col("cent_id"),
+        round(graft.functions.Cosine(col("embedding"), col("cent")), 6).as("ccos"))
       .groupBy("vec_id")
       .agg(expr(
         "max_by(cent_id, CAST(round(ccos * 1000000) AS BIGINT) * 1024 - cent_id) AS cent_id"))
@@ -262,9 +270,11 @@ object Similarity {
     val cells = ivfCells(spark, dir)
     val e = spark.read.parquet(s"$dir/embeddings.parquet").join(cells, "vec_id")
     val q = e.filter("vec_id = 0").selectExpr("embedding AS qv", "cent_id AS qc")
+    import org.apache.spark.sql.functions.{col, round}
     e.join(broadcast(q))
       .filter("vec_id <> 0 AND cent_id = qc")
-      .selectExpr("vec_id", s"round(${cosSpark("embedding", "qv")}, 6) AS cosine")
+      .select(col("vec_id"),
+        round(graft.functions.Cosine(col("embedding"), col("qv")), 6).as("cosine"))
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
   }
