@@ -1,34 +1,58 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.PiiScanExpr
+import graft.functions.{CosineExpr, FingerprintMinExpr, MinHashSigExpr,
+  PiiScanExpr, PyCollapseTrim, SimHashExpr}
 
 /**
- * Session extensions: registers the engine's custom Catalyst expression
- * for SQL callers —
+ * Session extensions: registers the engine's custom Catalyst
+ * expressions for SQL callers —
  *
  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions …
- *   SELECT pii_scan(text) FROM transcripts
+ *   SELECT pii_scan(text), cosine(a.embedding, b.embedding),
+ *          minhash_sig(shingles), simhash(tokens, 8),
+ *          fingerprint_min(text), py_collapse_trim(text) …
  *
  * (`vader_compound` is a ScalaUDF and registers per-session via
  * [[graft.functions.VaderUdf.register]].)
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("pii_scan"),
-      new ExpressionInfo(classOf[PiiScanExpr].getName, "pii_scan"),
-      (children: Seq[Expression]) => PiiScanExpr(children.head)))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[PiiScanExpr].getName.replace("PiiScanExpr", ""), name),
+        builder))
+    }
 }
 
 object GraftExtensions {
+
+  private def litInt(e: Expression, what: String): Int = e.eval() match {
+    case i: Int => i
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "pii_scan" -> ((c: Seq[Expression]) => PiiScanExpr(c.head)),
+    "py_collapse_trim" -> ((c: Seq[Expression]) => PyCollapseTrim(c.head)),
+    "minhash_sig" -> ((c: Seq[Expression]) => MinHashSigExpr(c.head)),
+    "cosine" -> ((c: Seq[Expression]) => CosineExpr(c.head, c(1))),
+    "simhash" -> ((c: Seq[Expression]) =>
+      SimHashExpr(c.head, litInt(c(1), "simhash hexLen"))),
+    "fingerprint_min" -> ((c: Seq[Expression]) => FingerprintMinExpr(c.head))
+  )
+
   /** Same registration against an already-built session (extensions
     * only apply at builder time). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "pii_scan", (children: Seq[Expression]) => PiiScanExpr(children.head), "scala_udf")
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
     graft.functions.VaderUdf.register(spark)
   }
 }

@@ -32,4 +32,21 @@ class ApiSpec extends AnyFunSuite with Matchers with SparkTestBase {
     rows.head.getSeq[org.apache.spark.sql.Row](0).head.getDouble(2) shouldBe 1.0 // .95 + boost
     rows.head.getDouble(1) shouldBe 0.4404
   }
+
+  test("the fused kernel expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  size(minhash_sig(array('a b c', 'b c d'))) AS mh,
+        |  cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |         array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos,
+        |  simhash(array('tok1', 'tok2'), 4) AS sh,
+        |  fingerprint_min('some text long enough') AS fp,
+        |  py_collapse_trim('  a   b ') AS ct""".stripMargin).head()
+    r.getInt(0) shouldBe 32
+    r.getDouble(1) shouldBe 1.0 +- 1e-12
+    r.getLong(2) should (be >= 0L and be < 65536L)
+    r.getString(3).length shouldBe 16
+    r.getString(4) shouldBe "a b"
+  }
 }
