@@ -154,6 +154,7 @@ object SparkEntry {
     "q_simhash_pairs" -> (operators.Dedup.simhashPairs _),
     "q_cosine_adjacent" -> (operators.Similarity.cosineAdjacent _),
     "q_ann_topk" -> ((s, dir) => operators.Similarity.annTopK(s, dir)),
+    "q_ann_topk_batch" -> ((s, dir) => operators.Similarity.annTopKBatch(s, dir)),
     "q_lsh_buckets" -> (operators.Similarity.lshBuckets _),
     "q_ann_lsh" -> ((s, dir) => operators.Similarity.annLsh(s, dir)),
     "q_embed_neardup" -> ((s, dir) => operators.Similarity.embedNearDup(s, dir)),
@@ -202,6 +203,7 @@ object SparkEntry {
     "q_simhash_pairs" -> operators.Dedup.simhashPairsOracle,
     "q_cosine_adjacent" -> operators.Similarity.cosineAdjacentOracle,
     "q_ann_topk" -> operators.Similarity.annTopKOracle(),
+    "q_ann_topk_batch" -> operators.Similarity.annTopKBatchOracle(),
     "q_lsh_buckets" -> operators.Similarity.lshBucketsOracle,
     "q_ann_lsh" -> operators.Similarity.annLshOracle(),
     "q_embed_neardup" -> operators.Similarity.embedNearDupOracle(),

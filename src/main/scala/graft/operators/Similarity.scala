@@ -84,6 +84,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** Query-BATCH ANN: top-k per query for a broadcast query table (vec
+    * ids < nQueries stand in for an arriving query batch) — the
+    * production shape where queries amortize one corpus scan. The corpus
+    * side never shuffles into the scoring join (broadcast); the only
+    * shuffle is the per-query top-k window keyed by q_id, whose input is
+    * |corpus|·nQueries scored rows — at scale, nQueries per job is the
+    * dial that keeps that bounded. */
+  def annTopKBatch(spark: SparkSession, dir: String,
+                   nQueries: Int = 8, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions.{asc, broadcast, col, desc, round, row_number}
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qs = broadcast(e.filter(s"vec_id < $nQueries")
+      .selectExpr("vec_id AS q_id", "embedding AS q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("cosine"), asc("vec_id"))
+    e.filter(s"vec_id >= $nQueries").join(qs)
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.Cosine(col("embedding"), col("q")), 6).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "vec_id", "cosine")
+  }
+
+  def annTopKBatchOracle(nQueries: Int = 8, k: Int = 5): String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id,
+       |    round(${cosSql("e.embedding", "q.embedding")}, 6) AS cosine
+       |  FROM embeddings e
+       |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $nQueries) q
+       |  WHERE e.vec_id >= $nQueries
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rk
+       |  FROM scored
+       |)
+       |SELECT q_id, vec_id, cosine FROM ranked WHERE rk <= $k""".stripMargin
+
   def annTopKOracle(k: Int = 10): String =
     s"""SELECT vec_id, round(${cosSql("embedding", "q")}, 6) AS cosine
        |FROM embeddings CROSS JOIN (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)

@@ -79,6 +79,18 @@ object StreamingVerdict {
         }).toDF()
   }
 
+  /** Streaming exact dedup: first-seen turn per normalized content hash,
+    * with state bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark` — duplicates beyond the watermark
+    * horizon re-emit, the price of bounded state; the batch
+    * [[graft.operators.Dedup.exact]] is the exact global form). */
+  def streamingDedup(stream: DataFrame): DataFrame =
+    stream
+      .withColumn("content_hash",
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Convenience: a memory-sink query over any of the above, for tests
     * and local smoke runs. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

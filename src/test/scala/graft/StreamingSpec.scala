@@ -42,6 +42,27 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestBase {
     q.stop()
   }
 
+  test("streaming dedup keeps the first-seen turn per content hash across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Turn]
+    val q = StreamingVerdict.runToMemory(spark,
+      StreamingVerdict.streamingDedup(in.toDF())
+        .select("conv_id", "turn_idx", "content_hash"),
+      "sv_dedup")
+    in.addData(
+      turn("a", 0, "identical   text"),
+      turn("a", 1, "identical text"), // same normalized hash, same batch
+      turn("b", 0, "other text"))
+    q.processAllAvailable()
+    in.addData(turn("c", 0, "identical text")) // dup across micro-batches
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM sv_dedup").collect()
+    rows.map(_.getString(2)).distinct.length shouldBe rows.length // unique hashes
+    rows.length shouldBe 2 // one keeper per hash; cross-batch dup dropped
+    q.stop()
+  }
+
   test("flatMapGroupsWithState carries conversation state across micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
