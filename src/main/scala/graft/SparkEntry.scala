@@ -170,7 +170,11 @@ object SparkEntry {
     "q_perplexity_topv" -> ((s, dir) => operators.Perplexity.scoreTopV(s, dir)),
     "q_quality" -> (operators.TextStats.quality _),
     "q_token_count" -> (operators.TextStats.tokenCount _),
-    "q_fingerprint" -> (operators.TextStats.fingerprint _)
+    "q_fingerprint" -> (operators.TextStats.fingerprint _),
+    // multimodal plumbing: the SQL-exact pieces (frame sampling, resize
+    // metadata) over the deterministic generated media table
+    "q_media_frames" -> (operators.Multimodal.framesQuery _),
+    "q_media_resize" -> (operators.Multimodal.resizeQuery _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -216,6 +220,8 @@ object SparkEntry {
     "q_perplexity_topv" -> operators.Perplexity.topVOracle(),
     "q_quality" -> operators.TextStats.qualityOracle,
     "q_token_count" -> operators.TextStats.tokenCountOracle,
-    "q_fingerprint" -> operators.TextStats.fingerprintOracle
+    "q_fingerprint" -> operators.TextStats.fingerprintOracle,
+    "q_media_frames" -> operators.Multimodal.framesOracle,
+    "q_media_resize" -> operators.Multimodal.resizeOracle
   )
 }

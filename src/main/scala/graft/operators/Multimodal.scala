@@ -94,4 +94,51 @@ object Multimodal {
       .withColumn("out_width", round(col("width") * col("scale")).cast("int"))  // round, not ceil: w*(maxDim/w) can land at maxDim+ε
       .withColumn("out_height", round(col("height") * col("scale")).cast("int"))
       .select("media_id", "kind", "width", "height", "out_width", "out_height")
+
+  // ---- driver-gate twins: the deterministic media table is generated
+  // in-engine, and its SQL-exact pieces (frame sampling, resize
+  // arithmetic, binary slicing) carry DuckDB oracles built from the same
+  // generate_series derivation — so the multimodal plumbing has
+  // hash-checked correctness rows, not just specs. The float feature
+  // kernel stays spec-only (float32 accumulation is not SQL-portable).
+
+  val GateRows = 500L
+
+  /** Thumbs are compared as lowercase hex (DuckDB can't substring a
+    * BLOB); the hex slice is byte-for-byte the binary thumb. */
+  def framesQuery(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(spark, generate(spark, GateRows)).toDF()
+      .selectExpr("media_id", "frame_idx", "frame_ts_ms",
+        "lower(hex(thumb)) AS thumb_hex")
+
+  def resizeQuery(spark: SparkSession, dir: String): DataFrame =
+    resizeMeta(generate(spark, GateRows), maxDim = 128)
+
+  private val mediaCte: String =
+    s"""WITH media AS (
+       |  SELECT s AS media_id,
+       |    CASE CAST(s % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       |    unhex(md5(CAST(s AS VARCHAR)) || md5(CAST(s + 1 AS VARCHAR))) AS payload,
+       |    CAST(64 + s % 192 AS INT) AS width,
+       |    CAST(64 + s % 128 AS INT) AS height,
+       |    CAST(CASE WHEN s % 3 = 2 THEN 1000 + s % 9000 ELSE 0 END AS INT) AS duration_ms
+       |  FROM generate_series(0, ${GateRows - 1}) AS g(s)
+       |)""".stripMargin
+
+  val framesOracle: String =
+    s"""$mediaCte
+       |SELECT media_id, CAST(f AS INT) AS frame_idx,
+       |  CAST(f * 1000 AS INT) AS frame_ts_ms,
+       |  substr(md5(CAST(media_id AS VARCHAR)) || md5(CAST(media_id + 1 AS VARCHAR)),
+       |         CAST(f * 8 + 1 AS INT), 8) AS thumb_hex
+       |FROM media, LATERAL unnest(generate_series(0, least(4, duration_ms // 1000 - 1))) AS t(f)
+       |WHERE kind = 'video' AND duration_ms >= 1000""".stripMargin
+
+  val resizeOracle: String =
+    s"""$mediaCte
+       |SELECT media_id, kind, width, height,
+       |  CAST(round(width * scale) AS INT) AS out_width,
+       |  CAST(round(height * scale) AS INT) AS out_height
+       |FROM (SELECT *, least(1.0, 128 / CAST(greatest(width, height) AS DOUBLE)) AS scale
+       |      FROM media)""".stripMargin
 }
