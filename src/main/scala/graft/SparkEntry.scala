@@ -145,6 +145,8 @@ object SparkEntry {
     "q_sessionize" -> (operators.Events.sessionize _),
     "q_session_stats" -> (operators.Events.sessionStats _),
     "q_tumbling" -> (operators.Events.tumbling _),
+    "q_sliding" -> (operators.Events.sliding _),
+    "q_session_window" -> (operators.Events.sessionWindow _),
     // --- training-data pipeline: dedup / similarity / text analysis ---
     "q_dedup_exact" -> (operators.Dedup.exact _),
     "q_minhash_sig" -> (operators.Dedup.minhashSig _),
@@ -199,6 +201,8 @@ object SparkEntry {
     "q_sessionize" -> operators.Events.sessionizeOracle,
     "q_session_stats" -> operators.Events.sessionStatsOracle,
     "q_tumbling" -> operators.Events.tumblingOracle,
+    "q_sliding" -> operators.Events.slidingOracle,
+    "q_session_window" -> operators.Events.sessionWindowOracle,
     "q_dedup_exact" -> operators.Dedup.exactOracle,
     "q_minhash_sig" -> operators.Dedup.minhashSigOracle,
     "q_minhash_pairs" -> operators.Dedup.minhashPairsOracle,

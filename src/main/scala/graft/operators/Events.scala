@@ -83,6 +83,57 @@ object Events {
        |  round(sum(value), 6) AS sum_value
        |FROM sess GROUP BY user_id, session_id""".stripMargin
 
+  /** Native session-window rollup (Spark's `session_window`, the
+    * streaming-ready form of [[sessionize]]): session end = last event
+    * + gap, and a gap of EXACTLY 30 min starts a new session (Spark
+    * merges only events strictly inside the horizon — the oracle
+    * mirrors that with `gap >= 30min ⇒ new`; the ordinal-id
+    * [[sessionize]] keeps the reference's `gap > 30min` convention). */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("tts", col("ts").cast("timestamp"))
+      .groupBy(col("user_id"), session_window(col("tts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"), col("sum_value"))
+
+  val sessionWindowOracle: String =
+    s"""WITH g AS (
+       |  SELECT user_id, ts, value, epoch_us(ts) -
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+       |  FROM events
+       |), f AS (
+       |  SELECT *, CASE WHEN gap IS NULL OR gap >= $SessionGapMicros THEN 1 ELSE 0 END AS new_s
+       |  FROM g
+       |), sess AS (
+       |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM f
+       |)
+       |SELECT user_id,
+       |  min(epoch_us(ts)) AS session_start_us,
+       |  max(epoch_us(ts)) + $SessionGapMicros AS session_end_us,
+       |  count(*) AS n_events, round(sum(value), 6) AS sum_value
+       |FROM sess GROUP BY user_id, sid""".stripMargin
+
+  /** Sliding 1-hour / 15-minute windows per event_type (each event lands
+    * in exactly 4 overlapping windows). */
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  val slidingOracle: String =
+    """SELECT
+      |  CAST(epoch(time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes') AS BIGINT) AS window_start,
+      |  event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+      |FROM events, LATERAL unnest(generate_series(0, 3)) AS t(k)
+      |GROUP BY 1, 2""".stripMargin
+
   /** Tumbling 1-hour window aggregation per event_type. */
   def tumbling(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
