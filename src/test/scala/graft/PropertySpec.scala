@@ -57,4 +57,80 @@ class PropertySpec extends AnyFunSuite with Matchers {
         withClue(s"input: '$s'") { PiiScan.scan(s) shouldBe empty }
     }
   }
+
+  // ---- fused-kernel equivalence: each codegen'd kernel against an
+  // independently written brute-force reference of its composed SQL
+  // semantics, on randomized inputs (the oracle gate proves the same on
+  // corpus data; these pin it on arbitrary input off-Spark).
+
+  private def md5hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+  }
+  private def arr(xs: Seq[String]) =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      xs.map(org.apache.spark.unsafe.types.UTF8String.fromString): Seq[Any])
+  private def farr(xs: Seq[Float]) =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(xs: Seq[Any])
+  private val rng = new scala.util.Random(20260816L)
+
+  test("MinHashSig kernel == composed md5/substr reference on random shingle sets") {
+    (0 until 200).foreach { _ =>
+      val sh = Seq.fill(1 + rng.nextInt(30))(rng.alphanumeric.take(1 + rng.nextInt(12)).mkString).distinct
+      val hh = sh.map(s => (0 until 8).map(d => if (d == 0) md5hex(s) else md5hex(d.toString + s)).mkString)
+      val expected = (0 until 32).map(j => hh.map(h => h.substring(j * 8, j * 8 + 8)).min)
+      val got = graft.functions.MinHashSig.sig(arr(sh))
+      (0 until 32).map(got.getUTF8String(_).toString) shouldBe expected
+    }
+  }
+
+  test("SimHash kernel == composed per-bit reference on random token lists") {
+    Seq(4, 8).foreach { hexLen =>
+      (0 until 200).foreach { _ =>
+        val toks = Seq.fill(1 + rng.nextInt(40))(rng.alphanumeric.take(1 + rng.nextInt(10)).mkString)
+        val bits = hexLen * 4
+        val hs = toks.map(t => java.lang.Long.parseLong(md5hex(t).take(hexLen), 16))
+        val expected = (0 until bits).map { j =>
+          val sum = hs.map(h => if (((h >> j) & 1L) == 1L) 1 else -1).sum
+          if (sum > 0) 1L << j else 0L
+        }.sum
+        graft.functions.SimHash.sim(arr(toks), hexLen) shouldBe expected
+      }
+    }
+  }
+
+  test("Cosine kernel == three independent left-to-right double sums") {
+    (0 until 200).foreach { _ =>
+      val a = Seq.fill(64)(rng.nextFloat() * 2 - 1)
+      val b = Seq.fill(64)(rng.nextFloat() * 2 - 1)
+      val ab = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      val aa = a.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+      val bb = b.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+      val expected = ab / (math.sqrt(aa) * math.sqrt(bb))
+      graft.functions.Cosine.cos(farr(a), farr(b)) shouldBe expected // bit-exact, no tolerance
+    }
+  }
+
+  test("LshBucket kernel == per-plane dot signs") {
+    val planes = Seq.fill(8)(Seq.fill(64)(if (rng.nextBoolean()) 1.0 else -1.0))
+    (0 until 200).foreach { _ =>
+      val v = Seq.fill(64)(rng.nextFloat() * 2 - 1)
+      val expected = planes.zipWithIndex.map { case (pl, p) =>
+        val dot = v.zip(pl).foldLeft(0.0) { case (acc, (x, w)) => acc + x.toDouble * w }
+        if (dot > 0) 1 << p else 0
+      }.sum
+      graft.functions.LshBucket.compute(farr(v), planes.map(_.toArray).toArray) shouldBe expected
+    }
+  }
+
+  test("FingerprintMin kernel == brute min over 8-gram md5 prefixes") {
+    (0 until 200).foreach { _ =>
+      val s = (rng.alphanumeric.take(rng.nextInt(60)) ++ Seq.fill(rng.nextInt(4))('é')).mkString
+      val expected =
+        if (s.length < 8) md5hex(s).take(16)
+        else (0 to s.length - 8).map(i => md5hex(s.substring(i, i + 8)).take(16)).min
+      graft.functions.FingerprintMin.min16(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString shouldBe expected
+    }
+  }
 }
