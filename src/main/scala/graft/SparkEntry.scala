@@ -151,6 +151,8 @@ object SparkEntry {
     "q_dedup_exact" -> (operators.Dedup.exact _),
     "q_minhash_sig" -> (operators.Dedup.minhashSig _),
     "q_minhash_pairs" -> (operators.Dedup.minhashPairs _),
+    "q_dup_clusters" -> (operators.Dedup.dupClusters _),
+    "q_sample_stratified" -> (operators.TextStats.sampleStratified _),
     "q_jaccard_adjacent" -> (operators.Dedup.jaccardAdjacent _),
     "q_simhash" -> (operators.Dedup.simhash _),
     "q_simhash_pairs" -> (operators.Dedup.simhashPairs _),
@@ -206,6 +208,8 @@ object SparkEntry {
     "q_dedup_exact" -> operators.Dedup.exactOracle,
     "q_minhash_sig" -> operators.Dedup.minhashSigOracle,
     "q_minhash_pairs" -> operators.Dedup.minhashPairsOracle,
+    "q_dup_clusters" -> operators.Dedup.dupClustersOracle(),
+    "q_sample_stratified" -> operators.TextStats.sampleStratifiedOracle,
     "q_jaccard_adjacent" -> operators.Dedup.jaccardAdjacentOracle,
     "q_simhash" -> operators.Dedup.simhashOracle,
     "q_simhash_pairs" -> operators.Dedup.simhashPairsOracle,

@@ -140,8 +140,11 @@ object Dedup {
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     minhashPairsOver(spark.read.parquet(s"$dir/documents.parquet"))
 
-  def minhashPairsOver(docs: DataFrame, cap: Int = DefaultBucketCap): DataFrame = {
-    val sh = shingledOver(representatives(docs)).cache()
+  /** Distinct LSH candidate pairs among exact-dup representatives, with
+    * the bucket cap applied — shared by the Jaccard-verified pair query
+    * and the duplicate-cluster assignment. `sh` is the (cached) shingle
+    * frame the caller may reuse for verification. */
+  private def candidatePairs(sh: DataFrame, cap: Int): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand)
         .map(r => s"element_at(mh, ${b * RowsPerBand + r + 1})").mkString(", ")
@@ -155,11 +158,16 @@ object Dedup {
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .filter(col("bsz") <= cap)
       .drop("bsz")
-    val pairs = banded.as("x").join(banded.as("y"),
+    banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
+  }
+
+  def minhashPairsOver(docs: DataFrame, cap: Int = DefaultBucketCap): DataFrame = {
+    val sh = shingledOver(representatives(docs)).cache()
+    val pairs = candidatePairs(sh, cap)
     pairs
       .join(sh.selectExpr("doc_id AS a_id", "sh AS sha"), "a_id")
       .join(sh.selectExpr("doc_id AS b_id", "sh AS shb"), "b_id")
@@ -169,13 +177,15 @@ object Dedup {
 
   def minhashPairsOracle: String = minhashPairsOracleWith(DefaultBucketCap)
 
-  def minhashPairsOracleWith(cap: Int): String = {
+  /** CTE chain reps → shingled → … → pairs (shared by the pair query and
+    * the cluster query; emitted WITHOUT the leading WITH keyword). */
+  private def pairsCteChain(cap: Int): String = {
     val mh = (0 until NumHashes).map(j => s"${mhExprSql(j)} AS mh$j").mkString(",\n    ")
     val bandSelects = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}").mkString(" || ")
       s"SELECT doc_id, $b AS band, md5($cols) AS bucket FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH reps AS (
+    s"""reps AS (
        |  SELECT doc_id, text FROM (
        |    SELECT doc_id, text,
        |      min(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keep_id
@@ -199,13 +209,71 @@ object Dedup {
        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
        |  FROM capped x JOIN capped y
        |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-       |)
+       |)""".stripMargin
+  }
+
+  def minhashPairsOracleWith(cap: Int): String =
+    s"""WITH ${pairsCteChain(cap)}
        |SELECT p.a_id, p.b_id,
        |  round(len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
        |FROM pairs p
        |JOIN shingled a ON a.doc_id = p.a_id
        |JOIN shingled b ON b.doc_id = p.b_id""".stripMargin
+
+  // ---------- duplicate clusters (connected components over candidates) ----------
+
+  /** Duplicate-cluster assignment: connected components over the LSH
+    * candidate-pair graph, each doc labeled with the min doc_id of its
+    * component — the step that turns pairwise near-dup hits into
+    * keep-one-per-cluster decisions. Implemented as min-label
+    * propagation: per round, every vertex takes the min of its own and
+    * its neighbors' labels (one shuffle per round; rounds = component
+    * diameter, tiny for near-dup graphs). Web-scale corpora with long
+    * chains would switch to the large-star/small-star contraction
+    * (Kiveris'14), which this label-prop loop is the base case of. */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    dupClustersOver(spark.read.parquet(s"$dir/documents.parquet"))
+
+  def dupClustersOver(docs: DataFrame, cap: Int = DefaultBucketCap): DataFrame = {
+    val sh = shingledOver(representatives(docs)).cache()
+    val pairs = candidatePairs(sh, cap).cache()
+    val sym = pairs.union(
+        pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst").cache()
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
+      val updated = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .cache()
+      changed = updated.as("u")
+        .join(labels.withColumnRenamed("cluster_id", "old").as("l"), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels = updated
+    }
+    labels
   }
+
+  /** Oracle: transitive closure via a recursive CTE over the same
+    * candidate pairs; cluster_id = min reachable doc_id (incl. self). */
+  def dupClustersOracle(cap: Int = DefaultBucketCap): String =
+    s"""WITH RECURSIVE ${pairsCteChain(cap)},
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION
+       |  SELECT b_id AS src, a_id AS dst FROM pairs
+       |),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+       |)
+       |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |FROM reach GROUP BY src""".stripMargin
 
   // ---------- n-gram Jaccard (adjacent-doc probe: always non-empty) ----------
 

@@ -106,6 +106,28 @@ object TextStats {
        |FROM q""".stripMargin
   }
 
+  /** Deterministic stratified sampling — the training-mixture primitive
+    * (per-language/per-source rates): an md5-derived uniform per doc_id
+    * compared against the stratum's rate. Reproducible across engines,
+    * runs, and partitionings (no RNG state, no sampleBy seed coupling);
+    * map-side only, so it composes with any downstream pipeline. */
+  val SampleRates: Map[String, Double] =
+    Map("en" -> 0.5, "zh" -> 0.25).withDefaultValue(0.1)
+
+  private def rateCase(quote: String => String): String =
+    "CASE lang " + SampleRates.map { case (l, r) => s"WHEN ${quote(l)} THEN $r" }
+      .mkString(" ") + " ELSE 0.1 END"
+
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .filter(s"(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10000) / 10000.0 < ${rateCase(l => s"'$l'")}")
+      .select("doc_id", "lang")
+
+  val sampleStratifiedOracle: String =
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000) / 10000.0)
+       |      < ${rateCase(l => s"'$l'")}""".stripMargin
+
   /** Token counting: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs / digit runs / single punctuation marks). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =

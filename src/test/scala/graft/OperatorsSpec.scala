@@ -69,6 +69,21 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkTestBase {
     capped should be < uncapped // the cap visibly prunes it
   }
 
+  test("dup clusters: chained near-dups collapse into one component labeled by min id") {
+    import spark.implicits._
+    // a chain of overlapping near-identical docs (each shares shingles
+    // with its neighbor) must propagate the min label across the whole
+    // chain, not just adjacent pairs
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = ((0 until 6).map(i => (10L + i, s"$base chain$i chain${i + 1}")) ++
+      Seq((99L, "a totally different document about unrelated things entirely"))
+    ).toDF("doc_id", "text")
+    val clusters = Dedup.dupClustersOver(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (10L to 15L).foreach { id => clusters(id) shouldBe 10L }
+    clusters.get(99L) shouldBe None // no pairs -> not in any cluster
+  }
+
   test("adjacent jaccard: symmetric-set measure stays in [0, 1]") {
     val rows = Dedup.jaccardAdjacent(spark, dir).collect()
     rows.length should be >= 490
