@@ -236,12 +236,17 @@ object Dedup {
 
   def dupClustersOver(docs: DataFrame, cap: Int = DefaultBucketCap): DataFrame = {
     val sh = shingledOver(representatives(docs)).cache()
-    val pairs = candidatePairs(sh, cap).cache()
-    val sym = pairs.union(
-        pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .toDF("src", "dst").cache()
+    // localCheckpoint (not cache) on the loop state: each round's plan
+    // would otherwise embed every previous round's plan, and Catalyst
+    // re-analysis cost grows with the round count — lineage truncation
+    // keeps per-round cost constant (the standard iterative-algorithm
+    // shape; GraphX does the same)
+    val pairs = candidatePairs(sh, cap).localCheckpoint()
+    val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val nbrMin = sym.join(labels, sym("dst") === labels("doc_id"))
@@ -249,7 +254,7 @@ object Dedup {
       val updated = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-        .cache()
+        .localCheckpoint()
       changed = updated.as("u")
         .join(labels.withColumnRenamed("cluster_id", "old").as("l"), "doc_id")
         .filter(col("cluster_id") =!= col("old")).count()
