@@ -16,6 +16,12 @@ object ClusterProbe {
       val n = graft.operators.Dedup.dupClusters(spark, dir).count()
       println(s"dupClusters run$i rows=$n sec=${(System.nanoTime() - t0) / 1e9}")
     }
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      graft.operators.Similarity.annIvf(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      println(s"annIvf run$i sec=${(System.nanoTime() - t0) / 1e9}")
+    }
     spark.stop()
   }
 }
