@@ -24,9 +24,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // default sized for an unknown-core driver run (~1-3 min total);
-    // the official BENCH/BASELINE.md numbers used SPARK_GRAFT_TURNS=8000000
-    val nTurns = sys.env.getOrElse("SPARK_GRAFT_TURNS", "1000000").toLong
+    // 4M default: round 2 showed a 1M-row corpus measures a half-warmed JVM
+    // (the fused expression needs ~1M invocations before C2 compiles) and
+    // the headline swung 4x run-to-run; 4M + untimed warmup passes below
+    // makes the gate number reproduce the documented protocol
+    val nTurns = sys.env.getOrElse("SPARK_GRAFT_TURNS", "4000000").toLong
+    val warmupPasses = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "2").toInt
+    val timedPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -53,26 +57,18 @@ object Bench {
     val turns = spark.read.parquet(corpus)
 
     // JIT warmup needs FULL passes (the expression-eval paths take ~1M
-    // invocations before C2 compiles them; a cold pass runs 5-20x slower)
-    // → repeat until the time plateaus (<10% improvement), report the best.
-    def steady(f: => Unit): Double = {
-      var best = timed(f)
-      var spent = best
-      var improving = true
-      var i = 0
-      // stop on plateau (<10% improvement) or a 240s wall budget —
-      // low-core driver runs must not loop for many minutes
-      while (i < 5 && improving && spent < 240.0) {
-        val t = timed(f)
-        spent += t
-        improving = t < best * 0.9
-        if (t < best) best = t
-        i += 1
-      }
-      best
+    // invocations before C2 compiles them; a cold pass runs 5-20x slower).
+    // Round 2's plateau heuristic exited after 2-3 half-warm passes and
+    // the headline didn't reproduce (171k vs the documented 711k) →
+    // fixed protocol instead: `warmupPasses` UNTIMED full-corpus passes,
+    // then best-of-`timedPasses`, with EVERY pass time emitted in the
+    // JSON so a reader can see the plateau themselves.
+    def measured(f: => Unit): (Double, Seq[Double]) = {
+      val all = (0 until (warmupPasses + timedPasses)).map(_ => timed(f))
+      (all.drop(warmupPasses).min, all)
     }
-    val tFused = steady(force(Verdict(turns, fused = true)))
-    val tChain = steady(force(Verdict(turns, fused = false)))
+    val (tFused, passesFused) = measured(force(Verdict(turns, fused = true)))
+    val (tChain, passesChain) = measured(force(Verdict(turns, fused = false)))
     val tps = nTurns / tFused
     val tpsChain = nTurns / tChain
 
@@ -93,7 +89,8 @@ object Bench {
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + tFused
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"turns":$nTurns,"keepdrop_sec_fused":$tFused,"keepdrop_sec_chain":$tChain,"turns_per_sec":$tps,"turns_per_sec_chain":$tpsChain,"errors":$errJson}"""
+    def jarr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"turns":$nTurns,"keepdrop_sec_fused":$tFused,"keepdrop_sec_chain":$tChain,"turns_per_sec":$tps,"turns_per_sec_chain":$tpsChain,"warmup_passes":$warmupPasses,"timed_passes":$timedPasses,"passes_fused":${jarr(passesFused)},"passes_chain":${jarr(passesChain)},"errors":$errJson}"""
     println(line)
     // sbt decorates forked stdout with "[info] ", which broke the driver's
     // machine parse in round 1 (BENCH_r01 "parsed": null) → also write the

@@ -20,10 +20,12 @@ import graft.functions.{CosineExpr, FingerprintMinExpr, MinHashSigExpr,
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    GraftExtensions.builders.foreach { case (name, builder) =>
+    GraftExtensions.builders.foreach { case (name, cls, builder) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
-        new ExpressionInfo(classOf[PiiScanExpr].getName.replace("PiiScanExpr", ""), name),
+        // each function's own expression class, so DESCRIBE FUNCTION
+        // metadata points at the real implementation
+        new ExpressionInfo(cls.getName, name),
         builder))
     }
 }
@@ -36,20 +38,25 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
-  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "pii_scan" -> ((c: Seq[Expression]) => PiiScanExpr(c.head)),
-    "py_collapse_trim" -> ((c: Seq[Expression]) => PyCollapseTrim(c.head)),
-    "minhash_sig" -> ((c: Seq[Expression]) => MinHashSigExpr(c.head)),
-    "cosine" -> ((c: Seq[Expression]) => CosineExpr(c.head, c(1))),
-    "simhash" -> ((c: Seq[Expression]) =>
-      SimHashExpr(c.head, litInt(c(1), "simhash hexLen"))),
-    "fingerprint_min" -> ((c: Seq[Expression]) => FingerprintMinExpr(c.head))
+  private[graft] val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("pii_scan", classOf[PiiScanExpr],
+      (c: Seq[Expression]) => PiiScanExpr(c.head)),
+    ("py_collapse_trim", classOf[PyCollapseTrim],
+      (c: Seq[Expression]) => PyCollapseTrim(c.head)),
+    ("minhash_sig", classOf[MinHashSigExpr],
+      (c: Seq[Expression]) => MinHashSigExpr(c.head)),
+    ("cosine", classOf[CosineExpr],
+      (c: Seq[Expression]) => CosineExpr(c.head, c(1))),
+    ("simhash", classOf[SimHashExpr],
+      (c: Seq[Expression]) => SimHashExpr(c.head, litInt(c(1), "simhash hexLen"))),
+    ("fingerprint_min", classOf[FingerprintMinExpr],
+      (c: Seq[Expression]) => FingerprintMinExpr(c.head))
   )
 
   /** Same registration against an already-built session (extensions
     * only apply at builder time). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    builders.foreach { case (name, builder) =>
+    builders.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }

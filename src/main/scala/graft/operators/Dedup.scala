@@ -167,12 +167,17 @@ object Dedup {
 
   def minhashPairsOver(docs: DataFrame, cap: Int = DefaultBucketCap): DataFrame = {
     val sh = shingledOver(representatives(docs)).cache()
-    val pairs = candidatePairs(sh, cap)
-    pairs
+    // materialize the (small) verified pair set eagerly so the shingle
+    // cache can be released here — repeated invocations (bench loops,
+    // warm probes) must not accumulate cached partitions until eviction
+    val out = candidatePairs(sh, cap)
       .join(sh.selectExpr("doc_id AS a_id", "sh AS sha"), "a_id")
       .join(sh.selectExpr("doc_id AS b_id", "sh AS shb"), "b_id")
       .selectExpr("a_id", "b_id",
         "round(size(array_intersect(sha, shb)) / CAST(size(array_union(sha, shb)) AS DOUBLE), 6) AS jaccard")
+      .localCheckpoint()
+    sh.unpersist()
+    out
   }
 
   def minhashPairsOracle: String = minhashPairsOracleWith(DefaultBucketCap)
@@ -242,6 +247,7 @@ object Dedup {
     // keeps per-round cost constant (the standard iterative-algorithm
     // shape; GraphX does the same)
     val pairs = candidatePairs(sh, cap).localCheckpoint()
+    sh.unpersist() // pairs are materialized; the shingle cache is done
     val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
     var labels = sym.select(col("src").as("doc_id")).distinct()

@@ -101,14 +101,14 @@ object Events {
 
   val sessionWindowOracle: String =
     s"""WITH g AS (
-       |  SELECT user_id, ts, value, epoch_us(ts) -
+       |  SELECT user_id, event_id, ts, value, epoch_us(ts) -
        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
        |  FROM events
        |), f AS (
        |  SELECT *, CASE WHEN gap IS NULL OR gap >= $SessionGapMicros THEN 1 ELSE 0 END AS new_s
        |  FROM g
        |), sess AS (
-       |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+       |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
        |  FROM f
        |)

@@ -79,11 +79,21 @@ object Checkpoint {
           .toDF("bucket", "rows", "dropped", "committed_at")
           .coalesce(1)
           .write.mode(SaveMode.Overwrite).parquet(tmpDir)
-        val part = fs.globStatus(
-          new org.apache.hadoop.fs.Path(tmpDir, "part-*.parquet"))(0).getPath
+        // a lost commit must be LOUD: if the staged part file is missing or
+        // the rename reports failure, the bucket would be counted committed
+        // while no sidecar row exists (stats drift + silent recompute on
+        // resume) — throw instead
+        val parts = fs.globStatus(
+          new org.apache.hadoop.fs.Path(tmpDir, "part-*.parquet"))
+        require(parts != null && parts.nonEmpty,
+          s"sidecar commit for bucket $b: no part file staged under $tmpDir")
+        val part = parts(0).getPath
         val sidecarPath = new org.apache.hadoop.fs.Path(sidecarDir)
         if (!fs.exists(sidecarPath)) fs.mkdirs(sidecarPath)
-        fs.rename(part, new org.apache.hadoop.fs.Path(sidecarPath, s"commit-$b.parquet"))
+        val dest = new org.apache.hadoop.fs.Path(sidecarPath, s"commit-$b.parquet")
+        if (!fs.rename(part, dest))
+          throw new java.io.IOException(
+            s"sidecar commit for bucket $b: rename $part -> $dest failed")
         fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/_sidecar_tmp"), true)
         committed += 1
         rows += n

@@ -93,7 +93,23 @@ object Llm {
     val skippedIdx = base.fieldIndex("skipped")
     val cleanIdx = base.fieldIndex("clean_text")
     v.mapPartitions { it =>
-      it.grouped(BatchSize).flatMap { rows =>
+      // batch on the NON-SKIPPED count (the reference buffers 10 analyzable
+      // texts — llm_detector.py:56-100): each group carries exactly
+      // BatchSize texts for the detector (last group fewer), with skipped
+      // rows interleaved in input order so row order is preserved
+      val batches: Iterator[Seq[Row]] = new Iterator[Seq[Row]] {
+        def hasNext: Boolean = it.hasNext
+        def next(): Seq[Row] = {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var n = 0
+          while (it.hasNext && n < BatchSize) {
+            val r = it.next(); buf += r
+            if (!r.getBoolean(skippedIdx)) n += 1
+          }
+          buf.toSeq
+        }
+      }
+      batches.flatMap { rows =>
         val toAnalyze = rows.filter(r => !r.getBoolean(skippedIdx))
         val analyzed = detector.analyzeBatch(toAnalyze.map(_.getString(cleanIdx)))
         val flagged = toAnalyze.zip(analyzed).collect {
