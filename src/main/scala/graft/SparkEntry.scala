@@ -170,6 +170,9 @@ object SparkEntry {
         .orderBy(desc("turn_idx"), asc("conv_id")).limit(20)
         .select("conv_id", "turn_idx", "keep")),
     "q_langid" -> (operators.TextStats.langId _),
+    // fastText-shaped hashed char-trigram model: trained in one pass,
+    // broadcast weight table, map-side scoring
+    "q_langid_model" -> (operators.LangIdModel.predict _),
     "q_perplexity" -> (operators.Perplexity.score _),
     "q_perplexity_topv" -> ((s, dir) => operators.Perplexity.scoreTopV(s, dir)),
     "q_quality" -> (operators.TextStats.quality _),
@@ -224,6 +227,7 @@ object SparkEntry {
     "q_recent_turns" -> (Oracle.verdictCte +
       "\nSELECT conv_id, turn_idx, keep FROM verdict ORDER BY turn_idx DESC, conv_id ASC LIMIT 20"),
     "q_langid" -> operators.TextStats.langIdOracle,
+    "q_langid_model" -> operators.LangIdModel.predictOracle,
     "q_perplexity" -> operators.Perplexity.oracle,
     "q_perplexity_topv" -> operators.Perplexity.topVOracle(),
     "q_quality" -> operators.TextStats.qualityOracle,

@@ -143,4 +143,23 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val b = TextStats.fingerprint(spark, dir).orderBy("doc_id").head(5)
     a.map(_.getString(2)) shouldBe b.map(_.getString(2))
   }
+
+  test("langid model: bounded weight table, total coverage, deterministic") {
+    import graft.operators.LangIdModel
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val m = LangIdModel.model(docs)
+    m.count() should be <= LangIdModel.Buckets.toLong
+    // fixed-point class frequencies are non-negative and bounded by Scale
+    val cols = LangIdModel.Langs.map(l => col(s"w_$l"))
+    m.filter(cols.map(c => c < 0L || c > LangIdModel.Scale).reduce(_ || _))
+      .count() shouldBe 0L
+    val p = LangIdModel.predict(spark, dir)
+    p.count() shouldBe docs.count() // every (non-empty) doc gets one prediction
+    p.select("lang_pred").distinct().collect().map(_.getString(0))
+      .foreach(l => LangIdModel.Langs should contain(l))
+    val a = p.orderBy("doc_id").head(5)
+    val b = LangIdModel.predict(spark, dir).orderBy("doc_id").head(5)
+    a.map(r => (r.getString(1), r.getLong(2))) shouldBe
+      b.map(r => (r.getString(1), r.getLong(2)))
+  }
 }

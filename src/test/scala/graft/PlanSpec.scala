@@ -105,6 +105,14 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "SortMergeJoin"
   }
 
+  test("langid model: scoring joins the weight table broadcast-only, no sort agg") {
+    val plan = executed(graft.operators.LangIdModel.predict(spark, dir))
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "Window"
+    plan should not include "SortAggregate"
+  }
+
   test("minhash pipeline runs the fused signature expression") {
     val plan = executed(graft.operators.Dedup.minhashSig(spark, dir))
     plan should include("minhash_sig")
