@@ -151,11 +151,15 @@ object SparkEntry {
     "q_dedup_exact" -> (operators.Dedup.exact _),
     "q_minhash_sig" -> (operators.Dedup.minhashSig _),
     "q_minhash_pairs" -> (operators.Dedup.minhashPairs _),
+    // recall accounting for the LSH bucket cap (metrics twin of the
+    // observe() that rides the pair join)
+    "q_lsh_dropped" -> (operators.Dedup.lshDroppedStats _),
     "q_dup_clusters" -> (operators.Dedup.dupClusters _),
     "q_sample_stratified" -> (operators.TextStats.sampleStratified _),
     "q_jaccard_adjacent" -> (operators.Dedup.jaccardAdjacent _),
     "q_simhash" -> (operators.Dedup.simhash _),
     "q_simhash_pairs" -> (operators.Dedup.simhashPairs _),
+    "q_simhash_pairs64" -> (operators.Dedup.simhashPairs64 _),
     "q_cosine_adjacent" -> (operators.Similarity.cosineAdjacent _),
     "q_ann_topk" -> ((s, dir) => operators.Similarity.annTopK(s, dir)),
     "q_ann_topk_batch" -> ((s, dir) => operators.Similarity.annTopKBatch(s, dir)),
@@ -211,11 +215,13 @@ object SparkEntry {
     "q_dedup_exact" -> operators.Dedup.exactOracle,
     "q_minhash_sig" -> operators.Dedup.minhashSigOracle,
     "q_minhash_pairs" -> operators.Dedup.minhashPairsOracle,
+    "q_lsh_dropped" -> operators.Dedup.lshDroppedStatsOracle(),
     "q_dup_clusters" -> operators.Dedup.dupClustersOracle(),
     "q_sample_stratified" -> operators.TextStats.sampleStratifiedOracle,
     "q_jaccard_adjacent" -> operators.Dedup.jaccardAdjacentOracle,
     "q_simhash" -> operators.Dedup.simhashOracle,
     "q_simhash_pairs" -> operators.Dedup.simhashPairsOracle,
+    "q_simhash_pairs64" -> operators.Dedup.simhashPairs64Oracle,
     "q_cosine_adjacent" -> operators.Similarity.cosineAdjacentOracle,
     "q_ann_topk" -> operators.Similarity.annTopKOracle(),
     "q_ann_topk_batch" -> operators.Similarity.annTopKBatchOracle(),

@@ -140,24 +140,41 @@ object Dedup {
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     minhashPairsOver(spark.read.parquet(s"$dir/documents.parquet"))
 
-  /** Distinct LSH candidate pairs among exact-dup representatives, with
-    * the bucket cap applied — shared by the Jaccard-verified pair query
-    * and the duplicate-cluster assignment. `sh` is the (cached) shingle
-    * frame the caller may reuse for verification. */
-  private def candidatePairs(sh: DataFrame, cap: Int): DataFrame = {
+  /** (doc_id, band, bucket) — each representative's Bands LSH bucket
+    * keys, exploded map-side. */
+  private def bandedOf(sh: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand)
         .map(r => s"element_at(mh, ${b * RowsPerBand + r + 1})").mkString(", ")
       s"struct($b AS band, md5(concat($cols)) AS bucket)"
     }.mkString(", ")
-    val banded = sh.select(col("doc_id"), MinHashSig(col("sh")).as("mh"))
+    sh.select(col("doc_id"), MinHashSig(col("sh")).as("mh"))
       .selectExpr("doc_id", s"explode(array($bandStructs)) AS bb")
       .selectExpr("doc_id", "bb.band AS band", "bb.bucket AS bucket")
-      // bucket-size cap: one boilerplate bucket of n docs would emit
-      // n²/2 pairs; the window count shares the (band, bucket) shuffle
+  }
+
+  /** Distinct LSH candidate pairs among exact-dup representatives, with
+    * the bucket cap applied — shared by the Jaccard-verified pair query
+    * and the duplicate-cluster assignment. `sh` is the (cached) shingle
+    * frame the caller may reuse for verification. When `obs` is given,
+    * the cap's recall cost rides the same pass as an observation
+    * (dropped_buckets / dropped_rows / max_bucket) — at 100 TB the cap
+    * is a recall knob, and a knob nobody can audit is a silent one. */
+  private def candidatePairs(sh: DataFrame, cap: Int,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    // bucket-size cap: one boilerplate bucket of n docs would emit
+    // n²/2 pairs; the window count shares the (band, bucket) shuffle
+    val sized = bandedOf(sh)
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("bsz") <= cap)
-      .drop("bsz")
+    // the recall audit runs as its own action over the cached shingles:
+    // a CollectMetrics node INSIDE the self-joined plan is silently lost
+    // when AQE reuses the exchange for both join sides (probed on 4.1.2)
+    obs.foreach { o =>
+      sized.observe(o,
+        sum(when(col("bsz") > cap, 1L).otherwise(0L)).as("dropped_rows"),
+        max(col("bsz")).as("max_bucket")).count()
+    }
+    val banded = sized.filter(col("bsz") <= cap).drop("bsz")
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -165,17 +182,43 @@ object Dedup {
       .distinct()
   }
 
-  def minhashPairsOver(docs: DataFrame, cap: Int = DefaultBucketCap): DataFrame = {
+  /** Oracle-checked recall-accounting twin for the bucket cap: how many
+    * (band, bucket) cells the cap drops, how many banded rows they held,
+    * and the largest cell — the numbers a production run logs per batch
+    * to bound what LSH recall the cap cost. One aggregation over the
+    * same banded frame the pair join reads. */
+  def lshDroppedStats(spark: SparkSession, dir: String): DataFrame =
+    lshDroppedStatsOver(spark.read.parquet(s"$dir/documents.parquet"))
+
+  def lshDroppedStatsOver(docs: DataFrame, cap: Int = DefaultBucketCap): DataFrame =
+    bandedOf(shingledOver(representatives(docs)))
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .agg(
+        sum(when(col("n") > cap, 1L).otherwise(0L)).as("dropped_buckets"),
+        sum(when(col("n") > cap, col("n")).otherwise(0L)).as("dropped_rows"),
+        max(col("n")).as("max_bucket"))
+
+  def lshDroppedStatsOracle(cap: Int = DefaultBucketCap): String =
+    s"""WITH ${pairsCteChain(cap)},
+       |bs AS (SELECT band, bucket, count(*) AS n FROM banded GROUP BY 1, 2)
+       |SELECT
+       |  CAST(coalesce(sum(CASE WHEN n > $cap THEN 1 ELSE 0 END), 0) AS BIGINT) AS dropped_buckets,
+       |  CAST(coalesce(sum(CASE WHEN n > $cap THEN n ELSE 0 END), 0) AS BIGINT) AS dropped_rows,
+       |  CAST(max(n) AS BIGINT) AS max_bucket
+       |FROM bs""".stripMargin
+
+  def minhashPairsOver(docs: DataFrame, cap: Int = DefaultBucketCap,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val sh = shingledOver(representatives(docs)).cache()
     // materialize the (small) verified pair set eagerly so the shingle
     // cache can be released here — repeated invocations (bench loops,
     // warm probes) must not accumulate cached partitions until eviction
-    val out = candidatePairs(sh, cap)
+    val pre = candidatePairs(sh, cap, obs)
       .join(sh.selectExpr("doc_id AS a_id", "sh AS sha"), "a_id")
       .join(sh.selectExpr("doc_id AS b_id", "sh AS shb"), "b_id")
       .selectExpr("a_id", "b_id",
         "round(size(array_intersect(sha, shb)) / CAST(size(array_union(sha, shb)) AS DOUBLE), 6) AS jaccard")
-      .localCheckpoint()
+    val out = pre.localCheckpoint()
     sh.unpersist()
     out
   }
@@ -377,6 +420,98 @@ object Dedup {
        |)
        |SELECT a_id, b_id, CAST(bit_count(xor(sima, simb)) AS INT) AS hamming
        |FROM pairs WHERE bit_count(xor(sima, simb)) <= $Sim2MaxHamming""".stripMargin
+  }
+
+  // ---------- SimHash at production width (64-bit, 4 x 16-bit bands) ----------
+
+  val Sim64Bits = 64
+  val Sim64Bands = 4 // 16 bits per band — the Manku'07 corpus-scale setting
+  val Sim64MaxHamming = 3
+
+  /** SimHash near-duplicate pairs at the 64-bit production width the
+    * 32-bit [[simhashPairs]] demo parameterizes: 4 bands of 16 bits,
+    * candidate-join on (band, chunk), exact-Hamming verify at distance
+    * ≤ [[Sim64MaxHamming]]. Pigeonhole exactness is unchanged: any pair
+    * within distance 3 differs in at most 3 of the 4 chunks, so it
+    * agrees on ≥ 1 and banding loses nothing. The 16-bit chunks are the
+    * selectivity that matters at corpus scale — expected random
+    * collisions per band fall 2^-16, so bucket mass stays tiny even on
+    * vocabulary-correlated corpora. The sign bit (bit 63) makes `sim`
+    * negative for half of all docs; band extraction masks after the
+    * arithmetic shift, and Hamming is computed on the raw xor, so
+    * signedness never changes a result (the oracle avoids signed-64
+    * literals entirely by working in 16-bit chunks). */
+  def simhashPairs64(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "split(text, '\\\\s+') AS t")
+      .select(col("doc_id"),
+        graft.functions.SimHash(col("t"), hexLen = Sim64Bits / 4).as("sim"))
+    val chunkBits = Sim64Bits / Sim64Bands
+    val mask = (1L << chunkBits) - 1
+    val bandStructs = (0 until Sim64Bands).map { b =>
+      s"struct($b AS band, shiftright(sim, ${b * chunkBits}) & $mask AS chunk)"
+    }.mkString(", ")
+    val banded = s
+      .selectExpr("doc_id", "sim", s"explode(array($bandStructs)) AS bb")
+      .selectExpr("doc_id", "sim", "bb.band AS band", "bb.chunk AS chunk")
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .selectExpr("x.doc_id AS a_id", "y.doc_id AS b_id",
+        "x.sim AS sima", "y.sim AS simb")
+      .distinct()
+      .selectExpr("a_id", "b_id",
+        "CAST(bit_count(sima ^ simb) AS INT) AS hamming")
+      .filter(s"hamming <= $Sim64MaxHamming")
+  }
+
+  /** Oracle in unsigned-safe arithmetic: the 64-bit token hash is carried
+    * as two 32-bit halves (hi = md5 hex chars 1-8, lo = chars 9-16 — the
+    * same big-endian layout the fused expression reads), bit sums are per
+    * half, and the fingerprint lives as four 16-bit chunks; Hamming =
+    * Σ bit_count(xor(chunk_a, chunk_b)). */
+  val simhashPairs64Oracle: String = {
+    val chunkBits = Sim64Bits / Sim64Bands
+    def half(j: Int) = if (j < 32) "lo" else "hi"
+    def pow(j: Int) = 1L << (j % 32)
+    val bitSums = (0 until Sim64Bits).map { j =>
+      s"list_reduce(list_transform(${half(j)}, h -> CASE WHEN (h // ${pow(j)}) % 2 = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) AS s$j"
+    }.mkString(",\n    ")
+    val chunks = (0 until Sim64Bands).map { b =>
+      val v = (0 until chunkBits)
+        .map(k => s"CASE WHEN s${b * chunkBits + k} > 0 THEN ${1L << k} ELSE 0 END")
+        .mkString(" + ")
+      s"CAST($v AS BIGINT) AS c$b"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until Sim64Bands).map { b =>
+      s"SELECT doc_id, c0, c1, c2, c3, $b AS band, c$b AS chunk FROM sims"
+    }.mkString("\n  UNION ALL\n  ")
+    val ham = (0 until Sim64Bands)
+      .map(b => s"bit_count(xor(xc$b, yc$b))").mkString(" + ")
+    val pairCols = (0 until Sim64Bands)
+      .map(b => s"x.c$b AS xc$b, y.c$b AS yc$b").mkString(", ")
+    s"""WITH hashed AS (
+       |  SELECT doc_id,
+       |    list_transform(regexp_split_to_array(text, '\\s+'), tok -> ('0x' || substr(md5(tok), 1, 8))::BIGINT) AS hi,
+       |    list_transform(regexp_split_to_array(text, '\\s+'), tok -> ('0x' || substr(md5(tok), 9, 8))::BIGINT) AS lo
+       |  FROM documents
+       |), bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM hashed
+       |), sims AS (
+       |  SELECT doc_id,
+       |    $chunks
+       |  FROM bits
+       |), banded AS (
+       |  $bandSelects
+       |), pairs AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id, $pairCols
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+       |)
+       |SELECT a_id, b_id, CAST($ham AS INT) AS hamming
+       |FROM pairs WHERE $ham <= $Sim64MaxHamming""".stripMargin
   }
 
   // ---------- SimHash (16-bit, md5-derived token hashes) ----------

@@ -144,6 +144,27 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkTestBase {
     a.map(_.getString(2)) shouldBe b.map(_.getString(2))
   }
 
+  test("LSH bucket cap: dropped-mass observation fires on a boilerplate corpus") {
+    import spark.implicits._
+    // 1000 near-identical docs (one trailing token differs): every band
+    // bucket goes boilerplate-sized, far over the cap — the recall cost
+    // must surface in the observation, never silently
+    val common = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val docs = (1 to 1000).map(i => (i.toLong, s"$common tail$i"))
+      .toDF("doc_id", "text")
+    val obs = org.apache.spark.sql.Observation()
+    Dedup.minhashPairsOver(docs, obs = Some(obs)).count()
+    val m = obs.get
+    m("dropped_rows").asInstanceOf[Long] should be > 0L
+    m("max_bucket").asInstanceOf[Long] should be > Dedup.DefaultBucketCap.toLong
+    // and on the real corpus the cap sits ABOVE the max bucket: nothing
+    // dropped, q_minhash_pairs unchanged
+    val real = Dedup.lshDroppedStats(spark, dir).head()
+    real.getLong(0) shouldBe 0L
+    real.getLong(1) shouldBe 0L
+    real.getLong(2) should be <= Dedup.DefaultBucketCap.toLong
+  }
+
   test("langid model: bounded weight table, total coverage, deterministic") {
     import graft.operators.LangIdModel
     val docs = spark.read.parquet(s"$dir/documents.parquet")
