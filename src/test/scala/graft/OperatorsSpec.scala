@@ -165,6 +165,15 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkTestBase {
     real.getLong(2) should be <= Dedup.DefaultBucketCap.toLong
   }
 
+  test("IVF with refinement: nprobe=2 recall beats nprobe=1 (Scaladoc numbers)") {
+    val brute = Similarity.annTopK(spark, dir, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    def recall(np: Int) = (Similarity.annIvf(spark, dir, k = 5, nprobe = np)
+      .collect().map(_.getLong(0)).toSet & brute).size
+    recall(2) shouldBe 3 // the number quoted in annIvf's Scaladoc
+    recall(2) should be > recall(1)
+  }
+
   test("langid model: bounded weight table, total coverage, deterministic") {
     import graft.operators.LangIdModel
     val docs = spark.read.parquet(s"$dir/documents.parquet")

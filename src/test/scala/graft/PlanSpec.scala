@@ -99,6 +99,13 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should include("partial_max_by") // map-side combine: 1 row/vec crosses the shuffle
   }
 
+  test("batch ANN: fixed-k aggregate, no window — k rows per query per partition shuffle") {
+    val plan = executed(Similarity.annTopKBatch(spark, dir))
+    plan should not include "Window"
+    plan should include("ObjectHashAggregate")
+    plan should include("partial_topk_longs") // map-side reduction to k longs
+  }
+
   test("top-V perplexity: every model join broadcasts (doc side never shuffles into it)") {
     val plan = executed(graft.operators.Perplexity.scoreTopV(spark, dir))
     plan should include("BroadcastHashJoin")
