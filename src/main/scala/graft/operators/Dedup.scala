@@ -273,15 +273,78 @@ object Dedup {
   /** Duplicate-cluster assignment: connected components over the LSH
     * candidate-pair graph, each doc labeled with the min doc_id of its
     * component — the step that turns pairwise near-dup hits into
-    * keep-one-per-cluster decisions. Implemented as min-label
-    * propagation: per round, every vertex takes the min of its own and
-    * its neighbors' labels (one shuffle per round; rounds = component
-    * diameter, tiny for near-dup graphs). Web-scale corpora with long
-    * chains would switch to the large-star/small-star contraction
-    * (Kiveris'14), which this label-prop loop is the base case of. */
+    * keep-one-per-cluster decisions. The query runs the
+    * large-star/small-star contraction ([[dupClustersBigStarOver]],
+    * Kiveris'14): O(log n) rounds on ANY graph shape, including the
+    * long duplicate chains that make min-label propagation
+    * (diameter-bounded, kept in [[dupClustersOver]] and
+    * equivalence-tested) degenerate at web scale. */
   def dupClusters(spark: SparkSession, dir: String): DataFrame =
-    dupClustersOver(spark.read.parquet(s"$dir/documents.parquet"))
+    dupClustersBigStarOver(spark.read.parquet(s"$dir/documents.parquet"))._1
 
+  /** Large-star/small-star contraction over the candidate-pair graph.
+    * Edges are kept canonical (src > dst); per round, large-star hangs
+    * every larger neighbor off each vertex's min neighbor, small-star
+    * hangs the smaller ones — each round is two (shuffle + aggregate)
+    * passes and the edge set contracts toward a star per component in
+    * O(log n) rounds regardless of diameter (OperatorsSpec pins a
+    * 64-link chain at ≤ 8 rounds where label-prop needs 64). Returns
+    * (labels, rounds). */
+  def dupClustersBigStarOver(docs: DataFrame,
+      cap: Int = DefaultBucketCap): (DataFrame, Int) = {
+    val sh = shingledOver(representatives(docs)).cache()
+    val pairs = candidatePairs(sh, cap).localCheckpoint()
+    sh.unpersist()
+    connectedComponents(pairs)
+  }
+
+  /** Large-star/small-star core over a (a_id, b_id) pair list: labels
+    * every participating node with its component min in O(log n)
+    * rounds. Exposed for adversarial graph tests. */
+  def connectedComponents(pairs: DataFrame): (DataFrame, Int) = {
+    val nodes = pairs.select(col("a_id").as("doc_id"))
+      .unionAll(pairs.select(col("b_id").as("doc_id"))).distinct()
+      .localCheckpoint()
+    // canonical src > dst
+    var edges = pairs
+      .select(greatest(col("a_id"), col("b_id")).as("src"),
+        least(col("a_id"), col("b_id")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint()
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      val w = Window.partitionBy("src")
+      sym.withColumn("m", least(min(col("dst")).over(w), col("src")))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val w = Window.partitionBy("src")
+      val withMin = e.withColumn("m", min(col("dst")).over(w))
+      withMin.filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionAll(withMin.select(col("src"), col("m").as("dst")))
+        .distinct()
+    }
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      rounds += 1
+      // exact convergence: same edge set (both sides are distinct)
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+    }
+    // converged edge set is (node → component min) for every non-root;
+    // roots label themselves
+    val labels = nodes.join(edges, nodes("doc_id") === edges("src"), "left")
+      .select(col("doc_id"), coalesce(col("dst"), col("doc_id")).as("cluster_id"))
+    (labels, rounds)
+  }
+
+  /** Min-label propagation baseline (rounds = component diameter). */
   def dupClustersOver(docs: DataFrame, cap: Int = DefaultBucketCap): DataFrame = {
     val sh = shingledOver(representatives(docs)).cache()
     // localCheckpoint (not cache) on the loop state: each round's plan

@@ -45,61 +45,92 @@ object Checkpoint {
   }
 
   /** Runs the verdict pipeline bucket-by-bucket with commit/resume.
-    * `failAfterBucket` (test hook) kills the run after N commits —
-    * simulating a mid-job crash. */
+    * Bucket jobs are submitted `parallelism` at a time (Spark schedules
+    * concurrent jobs from one session; sidecar commits are already
+    * independent per bucket — staged under per-bucket temp paths and
+    * renamed atomically), so the per-job scheduling overhead no longer
+    * serializes: the driver keeps `parallelism` bucket jobs in flight.
+    *
+    * `failAfterBucket` (test hook) kills the run once that many commits
+    * have landed — simulating a mid-job crash. Buckets already past the
+    * gate may still complete, so the commit count at the crash is in
+    * [failAfterBucket, failAfterBucket + parallelism - 1]; resume
+    * semantics are unaffected (whatever committed is skipped). */
   def run(spark: SparkSession, transcripts: DataFrame, outDir: String,
-          nBuckets: Int = 16, failAfterBucket: Int = -1): RunStats = {
+          nBuckets: Int = 16, failAfterBucket: Int = -1,
+          parallelism: Int = 4): RunStats = {
     val sidecarDir = s"$outDir/_sidecar"
     val done = committedBuckets(spark, sidecarDir)
-    var committed = 0
-    var rows = 0L
+    val committed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rows = new java.util.concurrent.atomic.AtomicLong(0L)
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (0 until nBuckets).foreach { b =>
-      if (!done.contains(b)) {
-        if (failAfterBucket >= 0 && committed >= failAfterBucket)
-          throw new RuntimeException(s"injected failure before bucket $b")
-        // metrics ride the write via observe — one pass per bucket
-        val obs = org.apache.spark.sql.Observation(s"bucket_$b")
-        val verdict = Verdict(transcripts.filter(bucketOf(nBuckets) === b))
-          .select("conv_id", "turn_idx", "role", "keep", "skipped",
-            "pii_risk_score", "scrubbed_text")
-          .observe(obs, count(lit(1)).as("rows"),
-            sum(when(!col("keep"), 1L).otherwise(0L)).as("dropped"))
-        verdict.write.mode(SaveMode.Overwrite).parquet(s"$outDir/bucket=$b")
-        val m = obs.get
-        val n = m("rows").asInstanceOf[Long]
-        val dropped = Option(m("dropped")).fold(0L)(_.asInstanceOf[Long])
-        // sidecar row AFTER the data write: stage to a temp path, then an
-        // atomic rename into _sidecar — a crash mid-commit leaves no
-        // partial file for resume to choke on
-        val tmpDir = s"$outDir/_sidecar_tmp/b$b"
-        Seq((b, n, dropped, java.time.Instant.now().toString))
-          .toDF("bucket", "rows", "dropped", "committed_at")
-          .coalesce(1)
-          .write.mode(SaveMode.Overwrite).parquet(tmpDir)
-        // a lost commit must be LOUD: if the staged part file is missing or
-        // the rename reports failure, the bucket would be counted committed
-        // while no sidecar row exists (stats drift + silent recompute on
-        // resume) — throw instead
-        val parts = fs.globStatus(
-          new org.apache.hadoop.fs.Path(tmpDir, "part-*.parquet"))
-        require(parts != null && parts.nonEmpty,
-          s"sidecar commit for bucket $b: no part file staged under $tmpDir")
-        val part = parts(0).getPath
-        val sidecarPath = new org.apache.hadoop.fs.Path(sidecarDir)
-        if (!fs.exists(sidecarPath)) fs.mkdirs(sidecarPath)
-        val dest = new org.apache.hadoop.fs.Path(sidecarPath, s"commit-$b.parquet")
-        if (!fs.rename(part, dest))
-          throw new java.io.IOException(
-            s"sidecar commit for bucket $b: rename $part -> $dest failed")
-        fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/_sidecar_tmp"), true)
-        committed += 1
-        rows += n
-      }
+
+    def commitBucket(b: Int): Unit = {
+      if (failAfterBucket >= 0 && committed.get() >= failAfterBucket)
+        throw new RuntimeException(s"injected failure before bucket $b")
+      // metrics ride the write via observe — one pass per bucket
+      val obs = org.apache.spark.sql.Observation()
+      val verdict = Verdict(transcripts.filter(bucketOf(nBuckets) === b))
+        .select("conv_id", "turn_idx", "role", "keep", "skipped",
+          "pii_risk_score", "scrubbed_text")
+        .observe(obs, count(lit(1)).as("rows"),
+          sum(when(!col("keep"), 1L).otherwise(0L)).as("dropped"))
+      verdict.write.mode(SaveMode.Overwrite).parquet(s"$outDir/bucket=$b")
+      val m = obs.get
+      val n = m("rows").asInstanceOf[Long]
+      val dropped = Option(m("dropped")).fold(0L)(_.asInstanceOf[Long])
+      // sidecar row AFTER the data write: stage to a PER-BUCKET temp path,
+      // then an atomic rename into _sidecar — a crash mid-commit leaves no
+      // partial file for resume to choke on, and concurrent buckets never
+      // touch each other's staging dirs
+      val tmpDir = s"$outDir/_sidecar_tmp/b$b"
+      Seq((b, n, dropped, java.time.Instant.now().toString))
+        .toDF("bucket", "rows", "dropped", "committed_at")
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(tmpDir)
+      // a lost commit must be LOUD: if the staged part file is missing or
+      // the rename reports failure, the bucket would be counted committed
+      // while no sidecar row exists (stats drift + silent recompute on
+      // resume) — throw instead
+      val parts = fs.globStatus(
+        new org.apache.hadoop.fs.Path(tmpDir, "part-*.parquet"))
+      require(parts != null && parts.nonEmpty,
+        s"sidecar commit for bucket $b: no part file staged under $tmpDir")
+      val part = parts(0).getPath
+      val sidecarPath = new org.apache.hadoop.fs.Path(sidecarDir)
+      if (!fs.exists(sidecarPath)) fs.mkdirs(sidecarPath)
+      val dest = new org.apache.hadoop.fs.Path(sidecarPath, s"commit-$b.parquet")
+      if (!fs.rename(part, dest))
+        throw new java.io.IOException(
+          s"sidecar commit for bucket $b: rename $part -> $dest failed")
+      fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+      committed.incrementAndGet()
+      rows.addAndGet(n)
     }
-    RunStats(nBuckets, done.size, committed, rows)
+
+    val todo = (0 until nBuckets).filterNot(done.contains)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, math.max(1, todo.size))))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      Await.result(
+        Future.sequence(todo.map(b => Future(commitBucket(b)))), Duration.Inf)
+    } finally {
+      // drain in-flight bucket jobs before returning (on failure, queued
+      // tasks hit the injection gate and die fast) so the caller observes
+      // a settled sidecar state
+      pool.shutdown()
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+      // residual staging dirs from a crashed run are safe to clear: only
+      // renamed files count as commits
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/_sidecar_tmp"), true)
+    }
+    RunStats(nBuckets, done.size, committed.get(), rows.get())
   }
 
   /** The committed output as one DataFrame (all buckets). */

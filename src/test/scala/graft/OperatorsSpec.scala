@@ -165,6 +165,30 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkTestBase {
     real.getLong(2) should be <= Dedup.DefaultBucketCap.toLong
   }
 
+  test("big-star components: 64-link chain converges in O(log n) rounds, labels exact") {
+    import spark.implicits._
+    // the adversarial shape for min-label propagation: one path graph of
+    // diameter 64 (label-prop would need 64 rounds; the contraction must
+    // stay logarithmic) plus a disjoint triangle
+    val chain = (1L to 64L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val pairs = (chain ++ tri).toDF("a_id", "b_id")
+    val (labels, rounds) = Dedup.connectedComponents(pairs)
+    rounds should be <= 8
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 65L).foreach(i => m(i) shouldBe 1L)
+    Seq(100L, 101L, 102L).foreach(i => m(i) shouldBe 100L)
+  }
+
+  test("big-star components agree with label propagation on the real corpus") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val a = Dedup.dupClustersBigStarOver(docs)._1.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = Dedup.dupClustersOver(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    a shouldBe b
+  }
+
   test("IVF with refinement: nprobe=2 recall beats nprobe=1 (Scaladoc numbers)") {
     val brute = Similarity.annTopK(spark, dir, k = 5)
       .collect().map(_.getLong(0)).toSet
