@@ -19,16 +19,38 @@ import scala.math.{abs, sqrt}
  *    ("FUNNY!!!" -> "FUNNY" but "good!!!!" survives unstripped and
  *    misses the lexicon).
  *
- * The lexicon is a bundled ~870-entry subset of the published
+ * The lexicon is a bundled ~4.8k-entry subset of the published
  * ~7.5k-entry vader_lexicon (MIT) — src/main/resources/
- * vader_lexicon_subset.txt, written from public knowledge of the file
- * (this sandbox has no egress to fetch it). Values follow the published
- * means where known and the published rating style otherwise; the
- * residual gap is out-of-subset vocabulary scoring 0 where the full
- * file would score it. Swapping in the complete file is a drop-in
- * replacement of that one resource — the engine, the Python replica
+ * vader_lexicon_subset.txt, hand-curated from public knowledge of the
+ * file (this sandbox has no egress to fetch it). Values follow the
+ * published means where known and the published rating style (1dp,
+ * [-4, 4], inflections near their stem) otherwise; the residual gap is
+ * out-of-subset vocabulary scoring 0 where the full file would score
+ * it, plus per-entry value drift where the transcription is
+ * approximate. Swapping in the complete file is a drop-in replacement
+ * of that one resource — the engine, the Python replica
  * (tools/vader_ref.py), and the committed differential corpus all read
- * the same file.
+ * the same file, and the published example compounds in VaderSpec
+ * anchor the algorithm + the exactly-known entries.
+ *
+ * Per-constant provenance vs the published vader.py:
+ *  - B_INCR/B_DECR = ±0.293, C_INCR = 0.733, N_SCALAR = -0.74: the
+ *    published constants, verbatim.
+ *  - NEGATE / BOOSTER_DICT / SPECIAL_CASE_IDIOMS: published word lists
+ *    (idioms with their published valences: "the shit" 3, "the bomb" 3,
+ *    "bad ass" 1.5, "yeah right" -2, "cut the mustard" 2,
+ *    "kiss of death" -1.5, "hand to mouth" -2).
+ *  - but-handling: published control flow — scores before "but" scaled
+ *    by 0.5, after by 1.5 (see butCheck).
+ *  - ALL-CAPS emphasis: ±0.733 only when the token is upper-case AND
+ *    the text mixes cases (allcap_differential), as published.
+ *  - punctuation amplification: 0.292 per "!" capped at 4 (max 1.168);
+ *    "?" adds 0.18 each for 2-3 marks, a flat 0.96 beyond — the
+ *    published rule (see punctuationEmphasis).
+ *  - normalization: score / sqrt(score² + 15), the published alpha.
+ * Every constant above is cross-checked against the published example
+ * compounds pinned in VaderSpec (0.4404, 0.8316, 0.8888, -0.5093, …) —
+ * a mis-transcribed constant cannot reproduce those.
  */
 object Vader {
 

@@ -47,7 +47,10 @@ class VaderSpec extends AnyFunSuite with Matchers {
     ("ok", 0.296, 1.0, 0.0, 0.0),
     ("I guess that's a good one to add lol.", 0.6705, 0.524, 0.0, 0.476),
     ("Looks sick!", -0.5093, 0.0, 0.767, 0.233),
-    ("the deployment finished and the dashboards look healthy", 0.0, 0.0, 0.0, 1.0),
+    // 'healthy' entered the bundled lexicon in round 3 (it IS in the
+    // published lexicon) — the former 0.0 golden encoded the old
+    // 870-entry subset boundary, not real VADER behavior
+    ("the deployment finished and the dashboards look healthy", 0.4215, 0.286, 0.0, 0.714),
     ("thanks for the update, that all sounds right to me", 0.4404, 0.244, 0.0, 0.756),
     ("WOW so great!!", 0.8888, 0.905, 0.0, 0.095),
     ("least favorite movie", -0.357, 0.0, 0.554, 0.446),
