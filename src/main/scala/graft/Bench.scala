@@ -73,7 +73,13 @@ object Bench {
     val tpsChain = nTurns / tChain
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // scaling-evidence runs time only the keep-drop gate (the metric the
+    // north rule scales); the full query sweep stays the default
+    val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
+    val querySet =
+      if (skipQueries) Map.empty[String, (SparkSession, String) => DataFrame]
+      else SparkEntry.queries
+    val results = querySet.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = try timed(force(fn(spark, sfDir))) catch {
         case e: Throwable =>
           // a crashed query must be VISIBLE, never silently absent from the

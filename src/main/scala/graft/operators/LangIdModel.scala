@@ -30,7 +30,11 @@ import org.apache.spark.sql.functions._
  * scoring is ONE BroadcastHashJoin + ONE hash aggregation keyed by
  * doc_id (map-side partials) — no sort, no window, no corpus-sized
  * shuffle beyond the per-doc score rows. PlanSpec asserts broadcast-only
- * model joins.
+ * model joins. Featurization deliberately runs twice (training pass,
+ * then inference pass): recomputing map-side grams is the right trade
+ * at corpus scale, where materializing the exploded feature stream
+ * would dwarf the input — and a real deployment trains once and only
+ * ever runs the inference half with released weights.
  */
 object LangIdModel {
 
@@ -48,14 +52,29 @@ object LangIdModel {
   private val bucketSql =
     s"CAST(conv(substring(md5(gram), 1, 8), 16, 10) AS BIGINT) % $Buckets"
 
+  /** Rebalance a compact input ahead of the ~250x char-trigram explode:
+    * a scan with fewer splits than cores (the sf test files are one row
+    * group) would run the entire explode + aggregation on one core —
+    * the shuffle moves only the compact doc rows, noise next to the
+    * exploded stream. A real corpus arrives with splits >> cores and
+    * passes through untouched. */
+  private def spread(docs: DataFrame): DataFrame = {
+    val dp = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < dp) docs.repartition(dp) else docs
+  }
+
   /** (doc_id, lang, bucket) — one row per char-trigram occurrence
-    * (multiplicity kept, as fastText does). Pure map-side. */
+    * (multiplicity kept, as fastText does). Pure map-side. Two flat
+    * explodes instead of one nested-HOF explode: nested lambdas run
+    * interpreted and would rebuild the boundary-padded token once PER
+    * GRAM (O(len²) allocations/token). */
   private def features(docs: DataFrame): DataFrame =
-    docs
+    spread(docs)
       .selectExpr("doc_id", "lang",
-        "filter(split(lower(text), '\\\\s+'), t -> length(t) > 0) AS ts")
+        "explode(filter(split(lower(text), '\\\\s+'), t -> length(t) > 0)) AS tok")
+      .selectExpr("doc_id", "lang", "concat('<', tok, '>') AS p")
       .selectExpr("doc_id", "lang",
-        "explode(flatten(transform(ts, t -> transform(sequence(1, length(t)), i -> substring(concat('<', t, '>'), i, 3))))) AS gram")
+        "explode(transform(sequence(1, length(p) - 2), i -> substring(p, i, 3))) AS gram")
       .selectExpr("doc_id", "lang", s"$bucketSql AS bucket")
 
   /** The broadcastable weight table: one row per bucket, one fixed-point

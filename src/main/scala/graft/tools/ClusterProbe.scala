@@ -22,6 +22,12 @@ object ClusterProbe {
         .write.format("noop").mode("overwrite").save()
       println(s"annIvf run$i sec=${(System.nanoTime() - t0) / 1e9}")
     }
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      graft.operators.LangIdModel.predict(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      println(s"langIdModel run$i sec=${(System.nanoTime() - t0) / 1e9}")
+    }
     spark.stop()
   }
 }
