@@ -45,7 +45,7 @@ object Dedup {
   /** Exact dedup on normalized (lowercased, whitespace-collapsed) text:
     * canonical keeper = min doc_id per content hash. */
   def exact(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet").selectExpr(
+    Inputs.documents(spark, dir).selectExpr(
       "md5(lower(trim(regexp_replace(text, '\\\\s+', ' ')))) AS content_hash",
       "doc_id")
       .groupBy("content_hash")
@@ -67,7 +67,7 @@ object Dedup {
         "array_distinct(transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) AS sh")
 
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    shingledOver(spark.read.parquet(s"$dir/documents.parquet"))
+    shingledOver(Inputs.documents(spark, dir))
 
   /** Oracle-side shingling from a named source relation. */
   private def shingledCteFrom(src: String): String =
@@ -105,7 +105,7 @@ object Dedup {
   /** Per-doc MinHash signature (NumHashes md5-derived components),
     * emitted as one comma-joined string for oracle comparability. */
   def minhashSig(spark: SparkSession, dir: String): DataFrame =
-    sigArr(spark.read.parquet(s"$dir/documents.parquet"))
+    sigArr(Inputs.documents(spark, dir))
       .selectExpr("doc_id", "array_join(mh, ',') AS sig")
 
   val minhashSigOracle: String = {
@@ -138,7 +138,7 @@ object Dedup {
     * shingle sets. Output: candidate pairs (among exact-dup
     * representatives, from buckets <= cap) with their true Jaccard. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
-    minhashPairsOver(spark.read.parquet(s"$dir/documents.parquet"))
+    minhashPairsOver(Inputs.documents(spark, dir))
 
   /** (doc_id, band, bucket) — each representative's Bands LSH bucket
     * keys, exploded map-side. */
@@ -188,7 +188,7 @@ object Dedup {
     * to bound what LSH recall the cap cost. One aggregation over the
     * same banded frame the pair join reads. */
   def lshDroppedStats(spark: SparkSession, dir: String): DataFrame =
-    lshDroppedStatsOver(spark.read.parquet(s"$dir/documents.parquet"))
+    lshDroppedStatsOver(Inputs.documents(spark, dir))
 
   def lshDroppedStatsOver(docs: DataFrame, cap: Int = DefaultBucketCap): DataFrame =
     bandedOf(shingledOver(representatives(docs)))
@@ -280,7 +280,7 @@ object Dedup {
     * (diameter-bounded, kept in [[dupClustersOver]] and
     * equivalence-tested) degenerate at web scale. */
   def dupClusters(spark: SparkSession, dir: String): DataFrame =
-    dupClustersBigStarOver(spark.read.parquet(s"$dir/documents.parquet"))._1
+    dupClustersBigStarOver(Inputs.documents(spark, dir))._1
 
   /** Large-star/small-star contraction over the candidate-pair graph.
     * Edges are kept canonical (src > dst); per round, large-star hangs
@@ -419,7 +419,7 @@ object Dedup {
     * composed per-bit aggregate form). */
   private def simhash32(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    spark.read.parquet(s"$dir/documents.parquet")
+    Inputs.documents(spark, dir)
       .selectExpr("doc_id", "split(text, '\\\\s+') AS t")
       .select(col("doc_id"),
         graft.functions.SimHash(col("t"), hexLen = Sim2Bits / 4).as("sim"))
@@ -505,7 +505,7 @@ object Dedup {
     * signedness never changes a result (the oracle avoids signed-64
     * literals entirely by working in 16-bit chunks). */
   def simhashPairs64(spark: SparkSession, dir: String): DataFrame = {
-    val s = spark.read.parquet(s"$dir/documents.parquet")
+    val s = Inputs.documents(spark, dir)
       .selectExpr("doc_id", "split(text, '\\\\s+') AS t")
       .select(col("doc_id"),
         graft.functions.SimHash(col("t"), hexLen = Sim64Bits / 4).as("sim"))
@@ -583,7 +583,7 @@ object Dedup {
 
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    spark.read.parquet(s"$dir/documents.parquet")
+    Inputs.documents(spark, dir)
       .selectExpr("doc_id", "split(text, '\\\\s+') AS t")
       .select(col("doc_id"),
         graft.functions.SimHash(col("t"), hexLen = SimBits / 4)

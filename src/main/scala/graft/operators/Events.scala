@@ -24,7 +24,7 @@ object Events {
     * never re-join the events scan (one user_id shuffle total). */
   private def sessionized(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    spark.read.parquet(s"$dir/events.parquet")
+    Inputs.events(spark, dir)
       .withColumn("us", unix_micros(col("ts").cast("timestamp")))
       .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
       .withColumn("new_session",
@@ -90,7 +90,7 @@ object Events {
     * mirrors that with `gap >= 30min ⇒ new`; the ordinal-id
     * [[sessionize]] keeps the reference's `gap > 30min` convention). */
   def sessionWindow(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+    Inputs.events(spark, dir)
       .withColumn("tts", col("ts").cast("timestamp"))
       .groupBy(col("user_id"), session_window(col("tts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
@@ -121,7 +121,7 @@ object Events {
   /** Sliding 1-hour / 15-minute windows per event_type (each event lands
     * in exactly 4 overlapping windows). */
   def sliding(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+    Inputs.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
       .select(unix_timestamp(col("w.start")).as("window_start"),
@@ -136,7 +136,7 @@ object Events {
 
   /** Tumbling 1-hour window aggregation per event_type. */
   def tumbling(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+    Inputs.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
       .select(unix_timestamp(col("w.start")).as("bucket_start"),

@@ -52,24 +52,14 @@ object LangIdModel {
   private val bucketSql =
     s"CAST(conv(substring(md5(gram), 1, 8), 16, 10) AS BIGINT) % $Buckets"
 
-  /** Rebalance a compact input ahead of the ~250x char-trigram explode:
-    * a scan with fewer splits than cores (the sf test files are one row
-    * group) would run the entire explode + aggregation on one core —
-    * the shuffle moves only the compact doc rows, noise next to the
-    * exploded stream. A real corpus arrives with splits >> cores and
-    * passes through untouched. */
-  private def spread(docs: DataFrame): DataFrame = {
-    val dp = docs.sparkSession.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions < dp) docs.repartition(dp) else docs
-  }
-
   /** (doc_id, lang, bucket) — one row per char-trigram occurrence
     * (multiplicity kept, as fastText does). Pure map-side. Two flat
     * explodes instead of one nested-HOF explode: nested lambdas run
     * interpreted and would rebuild the boundary-padded token once PER
-    * GRAM (O(len²) allocations/token). */
+    * GRAM (O(len²) allocations/token). Input rebalanced ahead of the
+    * ~250x explode when split-starved ([[Inputs.spread]]). */
   private def features(docs: DataFrame): DataFrame =
-    spread(docs)
+    Inputs.spread(docs)
       .selectExpr("doc_id", "lang",
         "explode(filter(split(lower(text), '\\\\s+'), t -> length(t) > 0)) AS tok")
       .selectExpr("doc_id", "lang", "concat('<', tok, '>') AS p")
@@ -95,7 +85,7 @@ object LangIdModel {
     * pivoted model on bucket, sum each language's weights in one
     * doc_id-keyed aggregation, argmax with alphabetical tiebreak. */
   def predict(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs = Inputs.documents(spark, dir)
     val sums = Langs.map(l => sum(col(s"w_$l")).as(s"s_$l"))
     val pred = Langs.init.zipWithIndex.map { case (l, i) =>
       val geAll = Langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")

@@ -24,7 +24,7 @@ object Perplexity {
 
   /** (doc_id, n_bigrams, round(ppl, 4)) for docs with >= 2 tokens. */
   def score(spark: SparkSession, dir: String): DataFrame = {
-    val toks = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = Inputs.documents(spark, dir)
       .selectExpr("doc_id", "split(lower(text), '\\\\s+') AS t")
       .filter("size(t) >= 2")
     toks.cache()
@@ -52,7 +52,7 @@ object Perplexity {
     * (its only shuffle is its own per-doc final aggregate). Uncapped
     * [[score]] stays as the exact-model baseline. */
   def scoreTopV(spark: SparkSession, dir: String, topV: Int = 256): DataFrame = {
-    val toks = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = Inputs.documents(spark, dir)
       .selectExpr("doc_id", "split(lower(text), '\\\\s+') AS t")
       .filter("size(t) >= 2")
     val words = toks.selectExpr("doc_id", "explode(t) AS w")

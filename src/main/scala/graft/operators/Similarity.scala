@@ -57,7 +57,7 @@ object Similarity {
     * (bit-identical arithmetic); the oracle keeps the composed HOF form. */
   def cosineAdjacent(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, round}
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val e = Inputs.embeddings(spark, dir)
     e.selectExpr("vec_id AS a_id", "embedding AS ea")
       .join(e.selectExpr("vec_id - 1 AS a_id", "vec_id AS b_id", "embedding AS eb"), "a_id")
       .select(col("a_id"), col("b_id"),
@@ -73,7 +73,7 @@ object Similarity {
     * scan side never shuffles; TakeOrderedAndProject merges k per
     * partition). Round-then-order so engines agree on boundary ties. */
   def annTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val e = Inputs.embeddings(spark, dir)
     val q = e.filter("vec_id = 0").selectExpr("embedding AS q")
     import org.apache.spark.sql.functions.{asc, broadcast, col, desc, round}
     e.filter("vec_id <> 0")
@@ -104,7 +104,7 @@ object Similarity {
                    nQueries: Int = 8, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, explode, round}
     val maxVec = (1L << 40) - 1
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val e = Inputs.embeddings(spark, dir)
     val qs = broadcast(e.filter(s"vec_id < $nQueries")
       .selectExpr("vec_id AS q_id", "embedding AS q"))
     e.filter(s"vec_id >= $nQueries").join(qs)
@@ -154,7 +154,7 @@ object Similarity {
     * arithmetic); the oracle keeps the composed per-plane form. */
   def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    Inputs.embeddings(spark, dir)
       .select(col("vec_id"),
         graft.functions.LshBucket(col("embedding"), planesD(planes)).as("bucket"))
   }
@@ -185,7 +185,7 @@ object Similarity {
       struct(lit(t).as("tbl"),
         graft.functions.LshBucket(col("embedding"), planesD(tablePlanes(t))).as("bucket"))
     }
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    Inputs.embeddings(spark, dir)
       .select(col("vec_id"), explode(array(structs: _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
   }
@@ -207,7 +207,7 @@ object Similarity {
     val qb = banded.filter("vec_id = 0").select("tbl", "bucket")
     val cands = banded.join(broadcast(qb), Seq("tbl", "bucket"))
       .filter("vec_id <> 0").select("vec_id").distinct()
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val e = Inputs.embeddings(spark, dir)
     val q = e.filter("vec_id = 0").selectExpr("embedding AS q")
     import org.apache.spark.sql.functions.{asc, col, desc, round}
     e.join(cands, "vec_id")
@@ -246,7 +246,7 @@ object Similarity {
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
       .distinct()
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val e = Inputs.embeddings(spark, dir)
     import org.apache.spark.sql.functions.round
     pairs
       .join(e.selectExpr("vec_id AS a_id", "embedding AS ea"), "a_id")
@@ -286,7 +286,7 @@ object Similarity {
     * rows instead of one row per vector). */
   def ivfCells(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, expr}
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val e = Inputs.embeddings(spark, dir)
     val cents = e.filter(s"vec_id BETWEEN 1 AND $IvfCentroids")
       .selectExpr("vec_id AS cent_id", "embedding AS cent")
     import org.apache.spark.sql.functions.{col, round}
@@ -335,7 +335,7 @@ object Similarity {
     * member count. ≤ [[IvfCentroids]] rows; broadcast everywhere used. */
   private def refinedCentroids(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, count, expr, lit, round, sum}
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val e = Inputs.embeddings(spark, dir)
     val cents = e.filter(s"vec_id BETWEEN 1 AND $IvfCentroids")
       .selectExpr("vec_id AS cent_id", "embedding AS cent")
     // assign0 == ivfCells, with the member embedding carried through the
@@ -374,7 +374,7 @@ object Similarity {
   def annIvf(spark: SparkSession, dir: String, k: Int = 5,
              nprobe: Int = IvfNProbe): DataFrame = {
     import org.apache.spark.sql.functions.{asc, broadcast, col, desc, expr}
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val e = Inputs.embeddings(spark, dir)
     val rc = refinedCentroids(spark, dir)
     // assign1: nearest refined centroid per vector (double-exact cosine —
     // centroids are no longer float rows)

@@ -38,7 +38,7 @@ object TextStats {
       s"""CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
          |  WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
          |  WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END""".stripMargin
-    spark.read.parquet(s"$dir/documents.parquet")
+    Inputs.documents(spark, dir)
       .selectExpr("doc_id", "array_distinct(split(lower(text), '\\\\s+')) AS toks")
       .selectExpr(Seq("doc_id") ++ scores: _*)
       .selectExpr("doc_id", s"$pred AS lang_pred",
@@ -70,7 +70,7 @@ object TextStats {
     * the usual length/stopword/digit heuristics. */
   def quality(spark: SparkSession, dir: String): DataFrame = {
     val en = litArr(StopWords("en"), spark = true)
-    spark.read.parquet(s"$dir/documents.parquet")
+    Inputs.documents(spark, dir)
       .selectExpr("doc_id", "text", "split(text, '\\\\s+') AS t")
       .selectExpr("doc_id",
         "size(t) AS n_tokens",
@@ -119,7 +119,7 @@ object TextStats {
       .mkString(" ") + " ELSE 0.1 END"
 
   def sampleStratified(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    Inputs.documents(spark, dir)
       .filter(s"(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10000) / 10000.0 < ${rateCase(l => s"'$l'")}")
       .select("doc_id", "lang")
 
@@ -131,7 +131,7 @@ object TextStats {
   /** Token counting: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs / digit runs / single punctuation marks). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    Inputs.documents(spark, dir)
       .selectExpr("doc_id",
         "size(split(text, '\\\\s+')) AS ws_tokens",
         "size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)) AS regex_tokens")
@@ -148,7 +148,7 @@ object TextStats {
     * the oracle keeps the composed transform/array_min form. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, md5}
-    spark.read.parquet(s"$dir/documents.parquet")
+    Inputs.documents(spark, dir)
       .select(col("doc_id"),
         md5(col("text")).as("content_md5"),
         graft.functions.FingerprintMin(col("text")).as("min_shingle_hash"))
