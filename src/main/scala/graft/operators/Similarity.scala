@@ -375,7 +375,10 @@ object Similarity {
              nprobe: Int = IvfNProbe): DataFrame = {
     import org.apache.spark.sql.functions.{asc, broadcast, col, desc, expr}
     val e = Inputs.embeddings(spark, dir)
-    val rc = refinedCentroids(spark, dir)
+    // the codebook (≤ IvfCentroids rows) feeds the vector assignment, the
+    // query probe, and the candidate join — materialize it once instead
+    // of re-running the training pass per consumer
+    val rc = refinedCentroids(spark, dir).localCheckpoint()
     // assign1: nearest refined centroid per vector (double-exact cosine —
     // centroids are no longer float rows)
     val a1 = e.join(broadcast(rc))

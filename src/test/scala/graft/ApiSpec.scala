@@ -24,6 +24,21 @@ class ApiSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(1).scrubbed_text shouldBe "all good here"
   }
 
+  test("ScrubJob config file provides job params; CLI flags override (K4)") {
+    val conf = java.nio.file.Files.createTempFile("job", ".properties")
+    java.nio.file.Files.writeString(conf,
+      "input=/data/in.parquet\noutput=/data/out\nbuckets=128\nparallelism=8\n")
+    val fromFile = graft.jobs.ScrubJob.resolve(
+      Array("--config", conf.toString))
+    fromFile("input") shouldBe "/data/in.parquet"
+    fromFile("buckets") shouldBe "128"
+    fromFile("parallelism") shouldBe "8"
+    val overridden = graft.jobs.ScrubJob.resolve(
+      Array("--config", conf.toString, "--buckets", "4096"))
+    overridden("buckets") shouldBe "4096" // flag wins
+    overridden("output") shouldBe "/data/out" // file fills the rest
+  }
+
   test("pii_scan and vader_compound are callable from SQL after registration") {
     GraftExtensions.register(spark)
     val rows = spark.sql(

@@ -54,6 +54,25 @@ class CheckpointSpec extends AnyFunSuite with Matchers with SparkTestBase {
     direct.exceptAll(resumed).count() shouldBe 0L
   }
 
+  test("bucketed output is partition-discoverable and bucket reads are pruned") {
+    // bucket=N dir layout == Iceberg bucket(conv_id) partitioning: the
+    // whole output reads as one table with a `bucket` partition column,
+    // and a bucket-scoped read must prune to that directory at plan time
+    val out = Files.createTempDirectory("ckpt3").toString
+    val transcripts = Transcripts.fromDocuments(spark, "/root/testdata/sf0.001")
+    Checkpoint.run(spark, transcripts, out, nBuckets = 4)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val one = spark.read.parquet(out).filter(col("bucket") === 2)
+      val plan = one.queryExecution.executedPlan.toString
+      plan should include("PartitionFilters")
+      plan should include regex "PartitionFilters: \\[[^\\]]*bucket"
+      one.count() shouldBe
+        transcripts.filter(Checkpoint.bucketOf(4) === 2).count()
+      spark.read.parquet(out).count() shouldBe transcripts.count()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("a fully committed run is a no-op on re-run") {
     val out = Files.createTempDirectory("ckpt2").toString
     val transcripts = Transcripts.fromDocuments(spark, "/root/testdata/sf0.001")
