@@ -181,6 +181,8 @@ object SparkEntry {
     "q_perplexity_topv" -> ((s, dir) => operators.Perplexity.scoreTopV(s, dir)),
     "q_quality" -> (operators.TextStats.quality _),
     "q_token_count" -> (operators.TextStats.tokenCount _),
+    // codegen'd multi-pattern Aho-Corasick keyword scrub
+    "q_scrub_keywords" -> (operators.TextStats.scrubKeywords _),
     "q_fingerprint" -> (operators.TextStats.fingerprint _),
     // multimodal plumbing: the SQL-exact pieces (frame sampling, resize
     // metadata) over the deterministic generated media table
@@ -238,6 +240,7 @@ object SparkEntry {
     "q_perplexity_topv" -> operators.Perplexity.topVOracle(),
     "q_quality" -> operators.TextStats.qualityOracle,
     "q_token_count" -> operators.TextStats.tokenCountOracle,
+    "q_scrub_keywords" -> operators.TextStats.scrubKeywordsOracle,
     "q_fingerprint" -> operators.TextStats.fingerprintOracle,
     "q_media_frames" -> operators.Multimodal.framesOracle,
     "q_media_resize" -> operators.Multimodal.resizeOracle

@@ -1,0 +1,197 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Multi-pattern Aho-Corasick keyword scan (the north star's
+ * "codegen'd UDF for multi-pattern Aho-Corasick scrubbing"): one pass
+ * over the text against ALL keywords simultaneously, instead of a
+ * compiled `(?i)\b(kw1|kw2|…)\b` alternation that backtracks per
+ * position per alternative. Two surfaces:
+ *
+ *  - [[AcAnyExpr]]: does any word-boundary-delimited keyword occur?
+ *    (drop-in for the context-boost `rlike` — PiiRules.ContextKeywordRegex)
+ *  - [[AcScrubExpr]]: replace every such occurrence with a mask, with
+ *    `Matcher.replaceAll` semantics (leftmost match wins, scanning
+ *    resumes after the replaced span).
+ *
+ * Semantics notes, mirrored from the Java-regex baseline so the chain
+ * and the DuckDB oracle agree:
+ *  - case-insensitive via ASCII folding (the keyword set is plain
+ *    `[a-z ]+` and Pattern.CASE_INSENSITIVE without UNICODE_CASE folds
+ *    ASCII only);
+ *  - `\b` == transition between `[A-Za-z0-9_]` and anything else;
+ *  - the keyword set is prefix-free, so at most one keyword can match
+ *    at a given start position and alternation order is irrelevant
+ *    (asserted at automaton build time — a non-prefix-free set would
+ *    need the regex' first-alternative priority).
+ *
+ * The automaton is built once per keyword set and cached statically;
+ * codegen emits a static call (same pattern as the other fused
+ * kernels), so the scan stays inside whole-stage codegen.
+ */
+object AhoCorasick {
+
+  final class Automaton(keywords: Seq[String]) {
+    private val kws = keywords.map(_.toLowerCase)
+    for (a <- kws; b <- kws if a != b)
+      require(!b.startsWith(a),
+        s"keyword set must be prefix-free for order-free matching: '$a' prefixes '$b'")
+
+    // goto/fail/output over lowercase chars; node 0 = root
+    private val gotoMaps = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.Map.empty[Char, Int])
+    private val out = scala.collection.mutable.ArrayBuffer(-1) // keyword length ending here, -1 none
+    kws.foreach { kw =>
+      var s = 0
+      kw.foreach { c =>
+        s = gotoMaps(s).getOrElseUpdate(c, {
+          gotoMaps += scala.collection.mutable.Map.empty[Char, Int]
+          out += -1
+          gotoMaps.size - 1
+        })
+      }
+      out(s) = kw.length
+    }
+    private val fail = new Array[Int](gotoMaps.size)
+    // BFS fail links; propagate outputs (longest suffix keyword)
+    private val queue = scala.collection.mutable.Queue.empty[Int]
+    gotoMaps(0).values.foreach { s => fail(s) = 0; queue += s }
+    while (queue.nonEmpty) {
+      val r = queue.dequeue()
+      gotoMaps(r).foreach { case (c, s) =>
+        queue += s
+        var f = fail(r)
+        while (f != 0 && !gotoMaps(f).contains(c)) f = fail(f)
+        fail(s) = gotoMaps(f).getOrElse(c, 0)
+        if (out(s) < 0) out(s) = out(fail(s))
+      }
+    }
+
+    // Java's \b is unicode-aware even without UNICODE_CHARACTER_CLASS
+    // (unlike \w): 'é' is a word char at a boundary — match that, since
+    // the rlike chain (Java) and the reference (Python re) both treat it
+    // so; the property suite pins the equivalence on adversarial text
+    @inline private def isWord(c: Char): Boolean =
+      Character.isLetterOrDigit(c) || c == '_'
+    @inline private def lower(c: Char): Char =
+      if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
+    private def step(s0: Int, c: Char): Int = {
+      var s = s0
+      while (s != 0 && !gotoMaps(s).contains(c)) s = fail(s)
+      gotoMaps(s).getOrElse(c, 0)
+    }
+
+    /** Is there any boundary-valid match? */
+    def any(text: String): Boolean = {
+      var s = 0
+      var i = 0
+      val n = text.length
+      while (i < n) {
+        s = step(s, lower(text.charAt(i)))
+        val len = out(s)
+        if (len > 0) {
+          val start = i - len + 1
+          val bOk = (start == 0 || !isWord(text.charAt(start - 1))) &&
+            (i + 1 == n || !isWord(text.charAt(i + 1)))
+          if (bOk) return true
+        }
+        i += 1
+      }
+      false
+    }
+
+    /** All boundary-valid (start, endExclusive) spans, by end order. */
+    private def spans(text: String): Seq[(Int, Int)] = {
+      val hits = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var s = 0
+      var i = 0
+      val n = text.length
+      while (i < n) {
+        s = step(s, lower(text.charAt(i)))
+        val len = out(s)
+        if (len > 0) {
+          val start = i - len + 1
+          if ((start == 0 || !isWord(text.charAt(start - 1))) &&
+              (i + 1 == n || !isWord(text.charAt(i + 1))))
+            hits += ((start, i + 1))
+        }
+        i += 1
+      }
+      hits.toSeq
+    }
+
+    /** replaceAll semantics: leftmost match first, resume past its end. */
+    def scrub(text: String, mask: String): String = {
+      val hits = spans(text).sortBy(_._1)
+      if (hits.isEmpty) return text
+      val sb = new java.lang.StringBuilder(text.length)
+      var pos = 0
+      hits.foreach { case (a, b) =>
+        if (a >= pos) { // skip matches overlapping an earlier replacement
+          sb.append(text, pos, a).append(mask)
+          pos = b
+        }
+      }
+      sb.append(text, pos, text.length)
+      sb.toString
+    }
+  }
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Automaton]()
+
+  /** Static lookup keyed by the joined keyword list (codegen-reachable). */
+  def automaton(joined: String): Automaton =
+    cache.computeIfAbsent(joined, j => new Automaton(j.split('\u0001').toSeq))
+
+  def anyStatic(text: UTF8String, joined: String): Boolean =
+    automaton(joined).any(text.toString)
+
+  def scrubStatic(text: UTF8String, joined: String, mask: String): UTF8String =
+    UTF8String.fromString(automaton(joined).scrub(text.toString, mask))
+
+  def any(c: Column, keywords: Seq[String]): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(AcAnyExpr(GraftBridge.expression(c), keywords))
+  }
+
+  def scrub(c: Column, keywords: Seq[String], mask: String): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(AcScrubExpr(GraftBridge.expression(c), keywords, mask))
+  }
+}
+
+case class AcAnyExpr(child: Expression, keywords: Seq[String]) extends UnaryExpression {
+  private val joined = keywords.mkString("\u0001")
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any =
+    AhoCorasick.anyStatic(input.asInstanceOf[UTF8String], joined)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val j = ctx.addReferenceObj("acJoined", joined, "java.lang.String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.AhoCorasick.anyStatic($c, $j)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): AcAnyExpr =
+    copy(child = newChild)
+  override def prettyName: String = "ac_any"
+}
+
+case class AcScrubExpr(child: Expression, keywords: Seq[String], mask: String)
+  extends UnaryExpression {
+  private val joined = keywords.mkString("\u0001")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    AhoCorasick.scrubStatic(input.asInstanceOf[UTF8String], joined, mask)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val j = ctx.addReferenceObj("acJoined", joined, "java.lang.String")
+    val m = ctx.addReferenceObj("acMask", mask, "java.lang.String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.AhoCorasick.scrubStatic($c, $j, $m)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): AcScrubExpr =
+    copy(child = newChild)
+  override def prettyName: String = "ac_scrub"
+}

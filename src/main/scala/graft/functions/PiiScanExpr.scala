@@ -40,9 +40,12 @@ object PiiScan {
   private val fpCompiled: Pattern = Pattern.compile(
     "(" + PiiRules.FalsePositivePatterns.mkString(")|(") + ")", Pattern.CASE_INSENSITIVE)
 
-  /** Single alternation ≡ "any `\bkw\b` matches" (existence only). */
-  private val ctxCompiled: Pattern = Pattern.compile(
-    "\\b(" + PiiRules.ContextKeywords.mkString("|") + ")\\b", Pattern.CASE_INSENSITIVE)
+  /** Context-boost keyword scan: Aho-Corasick over all keywords in one
+    * pass (AhoCorasick.Automaton) instead of the compiled
+    * `\b(kw1|kw2|…)\b` alternation — semantics proven identical to the
+    * regex in PropertySpec (ASCII case fold, `\b` boundaries). */
+  private val ctxAutomaton: AhoCorasick.Automaton =
+    AhoCorasick.automaton(PiiRules.ContextKeywords.mkString("\u0001"))
 
   /** Necessary-condition guards — each matcher's pattern makes these
     * provably required, so skipping on their absence cannot change the
@@ -111,7 +114,7 @@ object PiiScan {
       }
     }
     if (out.isEmpty) return Array.empty
-    val boost = if (ctxCompiled.matcher(text).find()) PiiRules.ContextBoost else 0.0
+    val boost = if (ctxAutomaton.any(text)) PiiRules.ContextBoost else 0.0
     out.map { case (t, v, c) =>
       InternalRow(t, UTF8String.fromString(v), math.min(1.0, c + boost))
     }.toArray

@@ -142,6 +142,44 @@ object TextStats {
       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS regex_tokens
       |FROM documents""".stripMargin
 
+  /** Multi-pattern keyword scrub via the codegen'd Aho-Corasick
+    * expression ([[graft.functions.AhoCorasick]]): every word-bounded
+    * occurrence of any context keyword is replaced in ONE text pass
+    * (the north star's "multi-pattern Aho-Corasick scrubbing"). The
+    * synthetic corpus contains no PII keywords, so a deterministic
+    * doc_id-keyed suffix seeds hits (mixed case included) — the oracle
+    * runs the equivalent regexp_replace alternation; the keyword set is
+    * prefix-free, so alternation order cannot matter. */
+  val ScrubMask = "[REDACTED-KW]"
+
+  def scrubKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Inputs.documents(spark, dir)
+      .selectExpr("doc_id",
+        """CASE doc_id % 5
+          |  WHEN 0 THEN concat(text, ' call me on my phone')
+          |  WHEN 1 THEN concat(text, ' my SSN is secret')
+          |  WHEN 2 THEN concat(text, ' Email: test, reach me soon')
+          |  ELSE text END AS seeded""".stripMargin)
+      .select(col("doc_id"),
+        graft.functions.AhoCorasick.scrub(col("seeded"),
+          graft.rules.PiiRules.ContextKeywords, ScrubMask).as("scrubbed"))
+  }
+
+  val scrubKeywordsOracle: String = {
+    val alt = graft.rules.PiiRules.ContextKeywords.mkString("|")
+    s"""WITH seeded AS (
+       |  SELECT doc_id, CASE doc_id % 5
+       |    WHEN 0 THEN text || ' call me on my phone'
+       |    WHEN 1 THEN text || ' my SSN is secret'
+       |    WHEN 2 THEN text || ' Email: test, reach me soon'
+       |    ELSE text END AS seeded
+       |  FROM documents)
+       |SELECT doc_id,
+       |  regexp_replace(seeded, '\\b($alt)\\b', '$ScrubMask', 'gi') AS scrubbed
+       |FROM seeded""".stripMargin
+  }
+
   /** Fingerprinting: full-content md5 plus a winnowing-style min hash
     * over character 8-grams (robust to local edits). Spark runs the
     * fused [[graft.functions.FingerprintMin]] (one pass, one u64 min);

@@ -123,6 +123,45 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("Aho-Corasick any == the (?i)\\b(kw|…)\\b regex on adversarial text") {
+    import graft.rules.PiiRules
+    val auto = graft.functions.AhoCorasick.automaton(
+      PiiRules.ContextKeywords.mkString("\u0001"))
+    val rx = java.util.regex.Pattern.compile(
+      "\\b(" + PiiRules.ContextKeywords.mkString("|") + ")\\b",
+      java.util.regex.Pattern.CASE_INSENSITIVE)
+    // seed keyword fragments, case variants, and boundary traps
+    val frag = Gen.listOf(Gen.oneOf("ssn", "SSN", "ssns", "xssn", "phone",
+      "PHONE!", "telephone", "call me", "call men", "recall me", "email",
+      "Email:", "social security", "social  security", "credit card",
+      "a", "_ssn_", "9ssn", "ssn9", ".ssn.", " ", "é", "名")).map(_.mkString(""))
+    val texts = (0 until 600).flatMap(i => frag(Gen.Parameters.default, Seed(1000L + i)))
+    (samples ++ texts).foreach { s =>
+      withClue(s"input: '$s'") {
+        auto.any(s) shouldBe rx.matcher(s).find()
+      }
+    }
+  }
+
+  test("Aho-Corasick scrub == Matcher.replaceAll on adversarial text") {
+    import graft.rules.PiiRules
+    val auto = graft.functions.AhoCorasick.automaton(
+      PiiRules.ContextKeywords.mkString("\u0001"))
+    val rx = java.util.regex.Pattern.compile(
+      "\\b(" + PiiRules.ContextKeywords.mkString("|") + ")\\b",
+      java.util.regex.Pattern.CASE_INSENSITIVE)
+    val frag = Gen.listOf(Gen.oneOf("ssn", "SSN phone", "Reach Me", "call me",
+      "ssn ssn ssn", "social security credit card", "e", " ", "-", "名",
+      "my name is x", "driver licensee", "driver license")).map(_.mkString(" "))
+    val texts = (0 until 600).flatMap(i => frag(Gen.Parameters.default, Seed(2000L + i)))
+    (samples ++ texts).foreach { s =>
+      withClue(s"input: '$s'") {
+        auto.scrub(s, "[X]") shouldBe
+          rx.matcher(s).replaceAll(java.util.regex.Matcher.quoteReplacement("[X]"))
+      }
+    }
+  }
+
   test("FingerprintMin kernel == brute min over 8-gram md5 prefixes") {
     (0 until 200).foreach { _ =>
       val s = (rng.alphanumeric.take(rng.nextInt(60)) ++ Seq.fill(rng.nextInt(4))('é')).mkString
