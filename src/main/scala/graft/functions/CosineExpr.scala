@@ -41,6 +41,64 @@ object Cosine {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(CosineExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
   }
+
+  /** float[] × double[] variant (IVF scores vectors against REFINED
+    * centroids, which are fixed-point-mean double arrays): identical
+    * summation order, so the value matches the composed HOF/SQL form
+    * bit-for-bit — this just replaces 6·dim interpreted lambda calls
+    * per pair with one codegen'd loop. */
+  def cosFD(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var ab = 0.0
+    var aa = 0.0
+    var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getDouble(i)
+      ab += x * y
+      aa += x * x
+      bb += y * y
+      i += 1
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  /** double[] × double[] variant (centroid vs centroid / query probe). */
+  def cosDD(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var ab = 0.0
+    var aa = 0.0
+    var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      ab += x * y
+      aa += x * x
+      bb += y * y
+      i += 1
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  def fd(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(CosineFDExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+}
+
+case class CosineFDExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Cosine.cosFD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Cosine.cosFD($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineFDExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cosine_fd"
 }
 
 case class CosineExpr(left: Expression, right: Expression)

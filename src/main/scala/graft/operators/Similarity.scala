@@ -316,18 +316,6 @@ object Similarity {
   /** How many of the query's nearest refined centroids to probe. */
   val IvfNProbe = 2
 
-  /** Generic double-exact dot product for mixed float/double arrays —
-    * both operands cast per element, left-to-right fold, mirroring
-    * [[dotSql]]'s list_reduce exactly (0-init left fold == no-init left
-    * fold in IEEE because 0 + x == x). Used where the fused float-only
-    * [[graft.functions.Cosine]] can't run (refined centroids are
-    * double arrays). */
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-
-  private def cosExpr(a: String, b: String): String =
-    s"${dotExpr(a, b)} / (sqrt(${dotExpr(a, a)}) * sqrt(${dotExpr(b, b)}))"
-
   /** Refined centroids: one deterministic Lloyd iteration over the seed
     * assignment — per cell, the FIXED-POINT mean of its members: each
     * component is rounded to 1e-6 ticks, summed as integers (order-free,
@@ -379,25 +367,28 @@ object Similarity {
     // query probe, and the candidate join — materialize it once instead
     // of re-running the training pass per consumer
     val rc = refinedCentroids(spark, dir).localCheckpoint()
-    // assign1: nearest refined centroid per vector (double-exact cosine —
-    // centroids are no longer float rows)
+    // assign1: nearest refined centroid per vector — fused float×double
+    // cosine kernel (same left-to-right sums as the HOF/SQL form, one
+    // codegen'd loop instead of 6·dim interpreted lambda calls per pair)
+    import org.apache.spark.sql.functions.round
     val a1 = e.join(broadcast(rc))
-      .selectExpr("vec_id", "embedding", "cent_id",
-        s"round(${cosExpr("embedding", "cent")}, 6) AS ccos")
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        round(graft.functions.Cosine.fd(col("embedding"), col("cent")), 6).as("ccos"))
       .groupBy("vec_id")
       .agg(expr(
         "max_by(cent_id, CAST(round(ccos * 1000000) AS BIGINT) * 1024 - cent_id) AS cent_id"),
         expr("first(embedding) AS embedding"))
     val q = e.filter("vec_id = 0").selectExpr("embedding AS qv")
     val qtop = rc.join(broadcast(q))
-      .selectExpr("cent_id", s"round(${cosExpr("cent", "qv")}, 6) AS qcos")
+      .select(col("cent_id"),
+        round(graft.functions.Cosine.fd(col("qv"), col("cent")), 6).as("qcos"))
       .orderBy(desc("qcos"), asc("cent_id")).limit(nprobe)
       .select("cent_id")
     a1.join(broadcast(qtop), "cent_id")
       .filter("vec_id <> 0")
       .join(broadcast(q))
-      .selectExpr("vec_id",
-        s"round(${cosExpr("embedding", "qv")}, 6) AS cosine")
+      .select(col("vec_id"),
+        round(graft.functions.Cosine(col("embedding"), col("qv")), 6).as("cosine"))
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
   }

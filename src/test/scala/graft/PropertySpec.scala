@@ -111,6 +111,20 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("Cosine float×double kernel == three independent left-to-right double sums") {
+    def darr(xs: Seq[Double]) =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(xs: Seq[Any])
+    (0 until 200).foreach { _ =>
+      val a = Seq.fill(64)(rng.nextFloat() * 2 - 1)
+      val b = Seq.fill(64)(rng.nextDouble() * 2 - 1)
+      val ab = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y }
+      val aa = a.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+      val bb = b.foldLeft(0.0)((acc, x) => acc + x * x)
+      val expected = ab / (math.sqrt(aa) * math.sqrt(bb))
+      graft.functions.Cosine.cosFD(farr(a), darr(b)) shouldBe expected // bit-exact
+    }
+  }
+
   test("LshBucket kernel == per-plane dot signs") {
     val planes = Seq.fill(8)(Seq.fill(64)(if (rng.nextBoolean()) 1.0 else -1.0))
     (0 until 200).foreach { _ =>
