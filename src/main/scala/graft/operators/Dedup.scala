@@ -329,13 +329,17 @@ object Dedup {
     }
     var rounds = 0
     var converged = false
+    var edgeCount = edges.count()
     while (!converged) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       rounds += 1
-      // exact convergence: same edge set (both sides are distinct)
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      val nextCount = next.count()
+      // exact convergence: same edge set (both sides are distinct, so
+      // equal counts + empty difference <=> equal sets); the expensive
+      // exceptAll only runs on rounds where the count stabilized
+      converged = nextCount == edgeCount && next.exceptAll(edges).isEmpty
       edges = next
+      edgeCount = nextCount
     }
     // converged edge set is (node → component min) for every non-root;
     // roots label themselves

@@ -79,6 +79,23 @@ object StreamingVerdict {
         }).toDF()
   }
 
+  /** Streaming session windows: the native `session_window` gap merge
+    * over event time with a watermark bounding session state — the
+    * streaming twin of [[graft.operators.Events.sessionWindow]] (same
+    * 30-minute gap; closed sessions emit once the watermark passes
+    * their end). */
+  def streamingSessionWindow(events: DataFrame,
+                             gap: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("tts", col("ts").cast("timestamp"))
+      .withWatermark("tts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("tts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup: first-seen turn per normalized content hash,
     * with state bounded by the event-time watermark
     * (`dropDuplicatesWithinWatermark` — duplicates beyond the watermark

@@ -82,6 +82,32 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestBase {
     q.stop()
   }
 
+  test("streaming session windows merge by gap and close at the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val t0 = 1704067200000L
+    def ev(id: Long, user: String, offsetMin: Long, value: Double) =
+      (id, new Timestamp(t0 + offsetMin * 60000L), user, value)
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val q = StreamingVerdict.runToMemory(spark,
+      StreamingVerdict.streamingSessionWindow(
+        in.toDF().toDF("event_id", "ts", "user_id", "value")),
+      "sv_sess", outputMode = "append")
+    in.addData(ev(1, "u1", 0, 1.0), ev(2, "u1", 10, 2.0), ev(4, "u2", 5, 4.0))
+    q.processAllAvailable()
+    in.addData(ev(3, "u1", 50, 3.0)) // 40 min after u1's last: new session
+    q.processAllAvailable()
+    // push the watermark far past every session end so they all close
+    in.addData(ev(99, "wm", 600, 0.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM sv_sess").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(3), r.getDouble(4))).toMap
+    rows((("u1"), (t0 * 1000L))) shouldBe (2L, 3.0)            // events 1+2 merged
+    rows((("u1"), (t0 + 50 * 60000L) * 1000L)) shouldBe (1L, 3.0) // gap > 30min split
+    rows((("u2"), (t0 + 5 * 60000L) * 1000L)) shouldBe (1L, 4.0)
+    q.stop()
+  }
+
   test("windowed drop counts with watermark aggregate per event-time minute") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
