@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineExpr, FingerprintMinExpr, MinHashSigExpr,
-  PiiScanExpr, PyCollapseTrim, SimHashExpr}
+import graft.functions.{AcAnyExpr, AcScrubExpr, CosineExpr, CosineFDExpr,
+  FingerprintMinExpr, MinHashSigExpr, PiiScanExpr, PyCollapseTrim, SimHashExpr}
 
 /**
  * Session extensions: registers the engine's custom Catalyst
@@ -50,8 +50,23 @@ object GraftExtensions {
     ("simhash", classOf[SimHashExpr],
       (c: Seq[Expression]) => SimHashExpr(c.head, litInt(c(1), "simhash hexLen"))),
     ("fingerprint_min", classOf[FingerprintMinExpr],
-      (c: Seq[Expression]) => FingerprintMinExpr(c.head))
+      (c: Seq[Expression]) => FingerprintMinExpr(c.head)),
+    ("cosine_fd", classOf[CosineFDExpr],
+      (c: Seq[Expression]) => CosineFDExpr(c.head, c(1))),
+    // context keywords are the engine's fixed set; SQL callers get the
+    // same automaton the fused scanner uses
+    ("ac_any", classOf[AcAnyExpr],
+      (c: Seq[Expression]) => AcAnyExpr(c.head, graft.rules.PiiRules.ContextKeywords)),
+    ("ac_scrub", classOf[AcScrubExpr],
+      (c: Seq[Expression]) => AcScrubExpr(c.head,
+        graft.rules.PiiRules.ContextKeywords, litStr(c(1), "ac_scrub mask")))
   )
+
+  private def litStr(e: Expression, what: String): String = e.eval() match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
 
   /** Same registration against an already-built session (extensions
     * only apply at builder time). */

@@ -23,8 +23,11 @@ object SimHash {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
-  /** Codegen entry point (static forwarder). hexLen must be even, <= 15
-    * (the value stays a non-negative Long, matching conv(...,16,10)). */
+  /** Codegen entry point (static forwarder). hexLen must be even, <= 16;
+    * at hexLen < 16 the value stays a non-negative Long (matching
+    * conv(...,16,10)); at the production width 16 bit 63 is the sign bit
+    * and callers must treat the fingerprint as raw bits (band masks and
+    * xor/bit_count do — see Dedup.simhashPairs64). */
   def sim(tokens: ArrayData, hexLen: Int): Long = {
     val bits = hexLen * 4
     val acc = new Array[Int](bits)

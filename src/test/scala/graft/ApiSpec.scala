@@ -57,11 +57,18 @@ class ApiSpec extends AnyFunSuite with Matchers with SparkTestBase {
         |         array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos,
         |  simhash(array('tok1', 'tok2'), 4) AS sh,
         |  fingerprint_min('some text long enough') AS fp,
-        |  py_collapse_trim('  a   b ') AS ct""".stripMargin).head()
+        |  py_collapse_trim('  a   b ') AS ct,
+        |  ac_any('please CALL ME today') AS aa,
+        |  ac_scrub('my ssn and phone', '[X]') AS asr,
+        |  cosine_fd(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |            array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE))) AS cfd""".stripMargin).head()
     r.getInt(0) shouldBe 32
     r.getDouble(1) shouldBe 1.0 +- 1e-12
     r.getLong(2) should (be >= 0L and be < 65536L)
     r.getString(3).length shouldBe 16
     r.getString(4) shouldBe "a b"
+    r.getBoolean(5) shouldBe true
+    r.getString(6) shouldBe "my [X] and [X]"
+    r.getDouble(7) shouldBe 1.0 +- 1e-12
   }
 }
