@@ -155,6 +155,9 @@ object SparkEntry {
     // observe() that rides the pair join)
     "q_lsh_dropped" -> (operators.Dedup.lshDroppedStats _),
     "q_dup_clusters" -> (operators.Dedup.dupClusters _),
+    // the composed per-doc dedup decision: exact + near-dup clusters ->
+    // keep/reason/canonical
+    "q_dedup_keeplist" -> (operators.Dedup.keepList _),
     "q_sample_stratified" -> (operators.TextStats.sampleStratified _),
     "q_jaccard_adjacent" -> (operators.Dedup.jaccardAdjacent _),
     "q_simhash" -> (operators.Dedup.simhash _),
@@ -219,6 +222,7 @@ object SparkEntry {
     "q_minhash_pairs" -> operators.Dedup.minhashPairsOracle,
     "q_lsh_dropped" -> operators.Dedup.lshDroppedStatsOracle(),
     "q_dup_clusters" -> operators.Dedup.dupClustersOracle(),
+    "q_dedup_keeplist" -> operators.Dedup.keepListOracle(),
     "q_sample_stratified" -> operators.TextStats.sampleStratifiedOracle,
     "q_jaccard_adjacent" -> operators.Dedup.jaccardAdjacentOracle,
     "q_simhash" -> operators.Dedup.simhashOracle,

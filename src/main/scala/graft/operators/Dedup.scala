@@ -396,6 +396,68 @@ object Dedup {
        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
        |FROM reach GROUP BY src""".stripMargin
 
+  // ---------- end-to-end keep-list (the training-pipeline decision) ----------
+
+  /** The per-document dedup DECISION a training-data pipeline consumes:
+    * exact duplicates collapse to their min-doc_id representative, the
+    * representatives' LSH candidate graph collapses to connected
+    * components (big-star), and each doc gets (keep, reason,
+    * canonical_id) — keep iff the doc IS its exact representative and
+    * that representative IS its cluster's min. `canonical_id` is the
+    * ultimate keeper a dropped doc duplicates.
+    *
+    * Scale shape: one window shuffle on content_hash (exact layer), the
+    * O(log n) contraction over the (small) pair graph, and one
+    * corpus-sized equi-join of the per-doc hash frame against the
+    * cluster labels — no step touches all-pairs. */
+  def keepList(spark: SparkSession, dir: String): DataFrame =
+    keepListOver(Inputs.documents(spark, dir))
+
+  def keepListOver(docs: DataFrame, cap: Int = DefaultBucketCap): DataFrame = {
+    val hashes = docs
+      .selectExpr("doc_id",
+        "md5(lower(trim(regexp_replace(text, '\\\\s+', ' ')))) AS content_hash")
+      .withColumn("keep_id", min("doc_id").over(Window.partitionBy("content_hash")))
+      .select("doc_id", "keep_id")
+    val labels = dupClustersBigStarOver(docs, cap)._1
+      .withColumnRenamed("doc_id", "rep_id")
+    hashes.join(labels, hashes("keep_id") === labels("rep_id"), "left")
+      .withColumn("canonical_id", coalesce(col("cluster_id"), col("keep_id")))
+      .selectExpr("doc_id",
+        "doc_id = keep_id AND canonical_id = keep_id AS keep",
+        "CASE WHEN doc_id <> keep_id THEN 'exact_dup' WHEN canonical_id <> keep_id THEN 'near_dup' ELSE 'keep' END AS reason",
+        "canonical_id")
+  }
+
+  def keepListOracle(cap: Int = DefaultBucketCap): String =
+    s"""WITH RECURSIVE ${pairsCteChain(cap)},
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION
+       |  SELECT b_id AS src, a_id AS dst FROM pairs
+       |),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+       |),
+       |labels AS (
+       |  SELECT src AS rep_id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src
+       |),
+       |hashes AS (
+       |  SELECT doc_id,
+       |    min(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keep_id
+       |  FROM documents
+       |)
+       |SELECT h.doc_id,
+       |  (h.doc_id = h.keep_id AND coalesce(l.cluster_id, h.keep_id) = h.keep_id) AS keep,
+       |  CASE WHEN h.doc_id <> h.keep_id THEN 'exact_dup'
+       |       WHEN coalesce(l.cluster_id, h.keep_id) <> h.keep_id THEN 'near_dup'
+       |       ELSE 'keep' END AS reason,
+       |  coalesce(l.cluster_id, h.keep_id) AS canonical_id
+       |FROM hashes h LEFT JOIN labels l ON l.rep_id = h.keep_id""".stripMargin
+
   // ---------- n-gram Jaccard (adjacent-doc probe: always non-empty) ----------
 
   def jaccardAdjacent(spark: SparkSession, dir: String): DataFrame = {

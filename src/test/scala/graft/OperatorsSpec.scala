@@ -165,6 +165,30 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkTestBase {
     real.getLong(2) should be <= Dedup.DefaultBucketCap.toLong
   }
 
+  test("dedup keep-list: canonicals are kept, dropped docs point at kept canonicals") {
+    val rows = Dedup.keepList(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2), r.getLong(3))).toMap
+    rows.foreach { case (doc, (keep, reason, canonical)) =>
+      if (keep) {
+        reason shouldBe "keep"
+        canonical shouldBe doc // a keeper is its own canonical
+      } else {
+        Seq("exact_dup", "near_dup") should contain(reason)
+        canonical should not be doc
+        rows(canonical)._1 shouldBe true // every drop resolves to a keeper
+      }
+    }
+    // exact dups in a synthetic corpus with duplicated rows
+    import spark.implicits._
+    val docs = Seq((1L, "same text here"), (2L, "same text here"),
+      (3L, "unique enough words entirely different")).toDF("doc_id", "text")
+    val m = Dedup.keepListOver(docs).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2), r.getLong(3))).toMap
+    m(1L) shouldBe ((true, "keep", 1L))
+    m(2L) shouldBe ((false, "exact_dup", 1L))
+    m(3L) shouldBe ((true, "keep", 3L))
+  }
+
   test("big-star components: 64-link chain converges in O(log n) rounds, labels exact") {
     import spark.implicits._
     // the adversarial shape for min-label propagation: one path graph of
