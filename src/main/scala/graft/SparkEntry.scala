@@ -190,7 +190,8 @@ object SparkEntry {
     // multimodal plumbing: the SQL-exact pieces (frame sampling, resize
     // metadata) over the deterministic generated media table
     "q_media_frames" -> (operators.Multimodal.framesQuery _),
-    "q_media_resize" -> (operators.Multimodal.resizeQuery _)
+    "q_media_resize" -> (operators.Multimodal.resizeQuery _),
+    "q_media_audio_gate" -> (operators.Multimodal.audioGateQuery _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -247,6 +248,7 @@ object SparkEntry {
     "q_scrub_keywords" -> operators.TextStats.scrubKeywordsOracle,
     "q_fingerprint" -> operators.TextStats.fingerprintOracle,
     "q_media_frames" -> operators.Multimodal.framesOracle,
-    "q_media_resize" -> operators.Multimodal.resizeOracle
+    "q_media_resize" -> operators.Multimodal.resizeOracle,
+    "q_media_audio_gate" -> operators.Multimodal.audioGateOracle
   )
 }

@@ -134,6 +134,37 @@ object Multimodal {
        |FROM media, LATERAL unnest(generate_series(0, least(4, duration_ms // 1000 - 1))) AS t(f)
        |WHERE kind = 'video' AND duration_ms >= 1000""".stripMargin
 
+  /** Audio quality gate (the audio twin of the image/video gates): mean
+    * byte amplitude of the (stub-PCM) payload, with a silence/clipping
+    * keep band (tuned so the md5-uniform stub payloads land on BOTH sides) — the shape of a loudness filter in a training pipeline.
+    * Byte arithmetic runs over the lowercase-hex rendering in BOTH
+    * engines (DuckDB cannot slice BLOBs), so amp_sum is integer-exact
+    * and the mean is one correctly-rounded division. */
+  def audioGateQuery(spark: SparkSession, dir: String): DataFrame =
+    generate(spark, GateRows).toDF()
+      .filter(col("kind") === "audio")
+      .selectExpr("media_id", "lower(hex(payload)) AS h")
+      .selectExpr("media_id",
+        "aggregate(sequence(1, length(h) div 2), 0L, (acc, i) -> acc + CAST(conv(substring(h, i*2-1, 2), 16, 10) AS BIGINT)) AS amp_sum",
+        "length(h) div 2 AS n_bytes")
+      .selectExpr("media_id", "amp_sum",
+        "round(amp_sum / CAST(n_bytes AS DOUBLE), 6) AS mean_amp")
+      .selectExpr("media_id", "amp_sum", "mean_amp",
+        "mean_amp >= 120.0 AND mean_amp <= 135.0 AS pass")
+
+  val audioGateOracle: String =
+    s"""$mediaCte
+       |SELECT media_id, amp_sum,
+       |  round(amp_sum / CAST(n_bytes AS DOUBLE), 6) AS mean_amp,
+       |  (round(amp_sum / CAST(n_bytes AS DOUBLE), 6) >= 120.0 AND
+       |   round(amp_sum / CAST(n_bytes AS DOUBLE), 6) <= 135.0) AS pass
+       |FROM (
+       |  SELECT media_id,
+       |    CAST(list_reduce(list_transform(generate_series(1, length(h) // 2),
+       |      i -> ('0x' || substr(h, i * 2 - 1, 2))::BIGINT), (a, b) -> a + b) AS BIGINT) AS amp_sum,
+       |    CAST(length(h) // 2 AS BIGINT) AS n_bytes
+       |  FROM (SELECT media_id, lower(hex(payload)) AS h FROM media WHERE kind = 'audio'))""".stripMargin
+
   val resizeOracle: String =
     s"""$mediaCte
        |SELECT media_id, kind, width, height,
