@@ -137,6 +137,28 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("TopKLongsAgg: update/merge/serde agree with sort-take on random streams") {
+    import graft.functions.TopKLongsAgg
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    (0 until 100).foreach { _ =>
+      val k = 1 + rng.nextInt(7)
+      val agg = TopKLongsAgg(BoundReference(0, LongType, nullable = false), k)
+      val values = Seq.fill(rng.nextInt(40))(rng.nextLong())
+      // split the stream over three partial buffers, serde one of them
+      val bufs = Seq.fill(3)(agg.createAggregationBuffer())
+      values.zipWithIndex.foreach { case (v, i) =>
+        agg.update(bufs(i % 3), InternalRow(v))
+      }
+      val b1 = agg.deserialize(agg.serialize(bufs(1))) // roundtrip a partial
+      val merged = agg.merge(agg.merge(bufs(0), b1), bufs(2))
+      val got = agg.eval(merged)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+      got shouldBe values.sorted.reverse.take(k) // sorted desc, k largest
+    }
+  }
+
   test("Aho-Corasick any == the (?i)\\b(kw|…)\\b regex on adversarial text") {
     import graft.rules.PiiRules
     val auto = graft.functions.AhoCorasick.automaton(
