@@ -158,6 +158,8 @@ object SparkEntry {
     // the composed per-doc dedup decision: exact + near-dup clusters ->
     // keep/reason/canonical
     "q_dedup_keeplist" -> (operators.Dedup.keepList _),
+    // quality x language x dedup composed into the per-doc curation flag
+    "q_train_filter" -> (operators.TrainFilter.trainFilter _),
     "q_sample_stratified" -> (operators.TextStats.sampleStratified _),
     "q_jaccard_adjacent" -> (operators.Dedup.jaccardAdjacent _),
     "q_simhash" -> (operators.Dedup.simhash _),
@@ -224,6 +226,7 @@ object SparkEntry {
     "q_lsh_dropped" -> operators.Dedup.lshDroppedStatsOracle(),
     "q_dup_clusters" -> operators.Dedup.dupClustersOracle(),
     "q_dedup_keeplist" -> operators.Dedup.keepListOracle(),
+    "q_train_filter" -> operators.TrainFilter.trainFilterOracle,
     "q_sample_stratified" -> operators.TextStats.sampleStratifiedOracle,
     "q_jaccard_adjacent" -> operators.Dedup.jaccardAdjacentOracle,
     "q_simhash" -> operators.Dedup.simhashOracle,

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The composed corpus-curation decision — what a training-data pipeline
+ * actually materializes per document: quality gate × language gate ×
+ * dedup keep-list joined into one `train_keep` flag with the reasons
+ * alongside. Each leg is an already-oracle-proven operator
+ * ([[TextStats.quality]], [[LangIdModel.predict]], [[Dedup.keepList]]);
+ * this query proves they COMPOSE — the DuckDB twin nests each leg's full
+ * SQL (including the keep-list's recursive CTE) and must still
+ * hash-match.
+ *
+ * Scale shape: three doc_id-keyed equi-joins of corpus-sized frames —
+ * at production scale these co-partition on doc_id (one shuffle each,
+ * or zero with bucketed tables); no leg introduces anything beyond its
+ * own audited plan.
+ */
+object TrainFilter {
+
+  val KeepLang = "en"
+
+  def trainFilter(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextStats.quality(spark, dir)
+      .select("doc_id", "quality_score", "pass")
+    val l = LangIdModel.predict(spark, dir).select("doc_id", "lang_pred")
+    val k = Dedup.keepList(spark, dir)
+      .select(col("doc_id"), col("keep").as("dedup_keep"), col("reason"))
+    q.join(l, "doc_id").join(k, "doc_id")
+      .selectExpr("doc_id",
+        s"pass AND lang_pred = '$KeepLang' AND dedup_keep AS train_keep",
+        "quality_score", "lang_pred", "reason")
+  }
+
+  /** The three legs' oracles nested as CTE bodies + the same joins. */
+  def trainFilterOracle: String =
+    s"""WITH q AS (
+       |${TextStats.qualityOracle}
+       |), l AS (
+       |${LangIdModel.predictOracle}
+       |), k AS (
+       |${Dedup.keepListOracle()}
+       |)
+       |SELECT q.doc_id,
+       |  (q.pass AND l.lang_pred = '$KeepLang' AND k.keep) AS train_keep,
+       |  q.quality_score, l.lang_pred, k.reason
+       |FROM q
+       |JOIN l ON l.doc_id = q.doc_id
+       |JOIN k ON k.doc_id = q.doc_id""".stripMargin
+}
