@@ -204,6 +204,29 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkTestBase {
     Seq(100L, 101L, 102L).foreach(i => m(i) shouldBe 100L)
   }
 
+  test("big-star components == union-find on random graphs") {
+    import spark.implicits._
+    (1 to 5).foreach { seed =>
+      val r = new scala.util.Random(seed)
+      val n = 40
+      val pairs = Seq.fill(25)((r.nextInt(n).toLong, r.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      // union-find reference with min-element labels
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val expected = nodes.map(v => v -> find(v.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(
+        pairs.toDF("a_id", "b_id"))._1.collect()
+        .map(row => row.getLong(0) -> row.getLong(1)).toMap
+      withClue(s"seed $seed") { got shouldBe expected }
+    }
+  }
+
   test("big-star components agree with label propagation on the real corpus") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val a = Dedup.dupClustersBigStarOver(docs)._1.collect()
