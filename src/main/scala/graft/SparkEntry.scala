@@ -171,6 +171,7 @@ object SparkEntry {
     "q_lsh_buckets" -> (operators.Similarity.lshBuckets _),
     "q_ann_lsh" -> ((s, dir) => operators.Similarity.annLsh(s, dir)),
     "q_embed_neardup" -> ((s, dir) => operators.Similarity.embedNearDup(s, dir)),
+    "q_embed_neardup_ivf" -> ((s, dir) => operators.Similarity.embedNearDupIvf(s, dir)),
     "q_ivf_cells" -> (operators.Similarity.ivfCells _),
     "q_ann_ivf" -> ((s, dir) => operators.Similarity.annIvf(s, dir)),
     // O1/O2: sort dispatch + limit (top-N: TakeOrderedAndProject)
@@ -238,6 +239,7 @@ object SparkEntry {
     "q_lsh_buckets" -> operators.Similarity.lshBucketsOracle,
     "q_ann_lsh" -> operators.Similarity.annLshOracle(),
     "q_embed_neardup" -> operators.Similarity.embedNearDupOracle(),
+    "q_embed_neardup_ivf" -> operators.Similarity.embedNearDupIvfOracle(),
     "q_ivf_cells" -> operators.Similarity.ivfCellsOracle,
     "q_ann_ivf" -> operators.Similarity.annIvfOracle(),
     "q_recent_turns" -> (Oracle.verdictCte +

@@ -359,18 +359,17 @@ object Similarity {
     * corpus, the hardest case for coarse quantization (real embedding
     * corpora cluster, so their cells align far better with true
     * neighbors; recall then climbs with nprobe exactly as here). */
-  def annIvf(spark: SparkSession, dir: String, k: Int = 5,
-             nprobe: Int = IvfNProbe): DataFrame = {
-    import org.apache.spark.sql.functions.{asc, broadcast, col, desc, expr}
+  /** assign1: nearest refined centroid per vector — fused float×double
+    * cosine kernel (same left-to-right sums as the HOF/SQL form, one
+    * codegen'd loop instead of 6·dim interpreted lambda calls per pair).
+    * Returns (assignment with embedding carried, broadcastable codebook). */
+  private def ivfAssignment(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{broadcast, col, expr, round}
     val e = Inputs.embeddings(spark, dir)
     // the codebook (≤ IvfCentroids rows) feeds the vector assignment, the
     // query probe, and the candidate join — materialize it once instead
     // of re-running the training pass per consumer
     val rc = refinedCentroids(spark, dir).localCheckpoint()
-    // assign1: nearest refined centroid per vector — fused float×double
-    // cosine kernel (same left-to-right sums as the HOF/SQL form, one
-    // codegen'd loop instead of 6·dim interpreted lambda calls per pair)
-    import org.apache.spark.sql.functions.round
     val a1 = e.join(broadcast(rc))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         round(graft.functions.Cosine.fd(col("embedding"), col("cent")), 6).as("ccos"))
@@ -378,6 +377,14 @@ object Similarity {
       .agg(expr(
         "max_by(cent_id, CAST(round(ccos * 1000000) AS BIGINT) * 1024 - cent_id) AS cent_id"),
         expr("first(embedding) AS embedding"))
+    (a1, rc)
+  }
+
+  def annIvf(spark: SparkSession, dir: String, k: Int = 5,
+             nprobe: Int = IvfNProbe): DataFrame = {
+    import org.apache.spark.sql.functions.{asc, broadcast, col, desc, round}
+    val e = Inputs.embeddings(spark, dir)
+    val (a1, rc) = ivfAssignment(spark, dir)
     val q = e.filter("vec_id = 0").selectExpr("embedding AS qv")
     val qtop = rc.join(broadcast(q))
       .select(col("cent_id"),
@@ -393,13 +400,15 @@ object Similarity {
       .limit(k)
   }
 
-  def annIvfOracle(k: Int = 5, nprobe: Int = IvfNProbe): String = {
+  /** Shared oracle CTE chain: seeds -> assign0 -> fixed-point refined
+    * centroids -> assign1 (emitted WITHOUT the leading WITH keyword). */
+  private def ivfCteChain: String = {
     val sums = (0 until Dim).map(j =>
       s"CAST(sum(CAST(round(embedding[${j + 1}]::DOUBLE * 1000000) AS BIGINT)) AS BIGINT) AS s$j")
       .mkString(",\n    ")
     val mean = (0 until Dim).map(j =>
       s"(((s$j + 1000000 * cnt) // cnt) - 1000000)::DOUBLE / 1000000.0").mkString(", ")
-    s"""WITH cents AS (
+    s"""cents AS (
        |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
        |  WHERE vec_id BETWEEN 1 AND $IvfCentroids
        |), scored0 AS (
@@ -424,7 +433,40 @@ object Similarity {
        |  SELECT vec_id, embedding, cent_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rk
        |    FROM scored1) WHERE rk = 1
-       |), qv AS (
+       |)""".stripMargin
+  }
+
+  /** Embedding near-duplicate pairs with IVF-CELL blocking — the
+    * clustering-based alternative to the banded-LSH candidate generator
+    * ([[embedNearDup]]): candidates = pairs assigned to the same refined
+    * centroid, scored once with the fused cosine, kept at >= threshold.
+    * Where LSH bounds per-bucket mass by adding planes, IVF bounds it by
+    * adding centroids (cells shrink as k grows) — on clustered real
+    * corpora the cells align with the similarity structure, making this
+    * the tighter blocker; on this near-orthogonal synthetic corpus the
+    * threshold is set low like embedNearDup's so the oracle row set
+    * stays non-trivial. */
+  def embedNearDupIvf(spark: SparkSession, dir: String,
+                      threshold: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.functions.{col, round}
+    val (a1, _) = ivfAssignment(spark, dir)
+    a1.as("x").join(a1.as("y"),
+        col("x.cent_id") === col("y.cent_id") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+        round(graft.functions.Cosine(col("x.embedding"), col("y.embedding")), 6).as("cosine"))
+      .filter(s"cosine >= $threshold")
+  }
+
+  def embedNearDupIvfOracle(threshold: Double = 0.25): String =
+    s"""WITH $ivfCteChain
+       |SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+       |  round(${cosSql("x.embedding", "y.embedding")}, 6) AS cosine
+       |FROM a1 x JOIN a1 y ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+       |WHERE round(${cosSql("x.embedding", "y.embedding")}, 6) >= $threshold""".stripMargin
+
+  def annIvfOracle(k: Int = 5, nprobe: Int = IvfNProbe): String =
+    s"""WITH $ivfCteChain,
+       |qv AS (
        |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
        |), qtop AS (
        |  SELECT r.cent_id FROM rcent r CROSS JOIN qv
@@ -435,5 +477,4 @@ object Similarity {
        |FROM a1 JOIN qtop ON qtop.cent_id = a1.cent_id CROSS JOIN qv
        |WHERE a1.vec_id <> 0
        |ORDER BY cosine DESC, a1.vec_id ASC LIMIT $k""".stripMargin
-  }
 }
