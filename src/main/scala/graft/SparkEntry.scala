@@ -123,6 +123,12 @@ object SparkEntry {
       pipeline.Conversation.runningState(Verdict(transcripts(s, dir)))),
     "q_conv_rollup_salted" -> ((s, dir) =>
       pipeline.Conversation.rollupSalted(Verdict(transcripts(s, dir)))),
+    // distributed prefix-scan variant of q_conv_running: low threshold /
+    // few blocks so the salted path (heavy-conv blocking + offset merge)
+    // actually executes on the small sf tables the oracle reads
+    "q_conv_running_salted" -> ((s, dir) =>
+      pipeline.Conversation.runningStateSalted(Verdict(transcripts(s, dir)),
+        numBlocks = 4, heavyThreshold = 8)),
     // J1 + X7 + F5(full): stub-LLM micro-batch stage merged into verdict
     "q_llm_verdict" -> ((s, dir) =>
       pipeline.Llm.withLlm(s, transcripts(s, dir)).select(
@@ -212,6 +218,7 @@ object SparkEntry {
     "q_conv_boost" -> Oracle.convBoostQuery,
     "q_conv_running" -> Oracle.convRunningQuery,
     "q_conv_rollup_salted" -> Oracle.convRollupQuery, // identical result to the direct rollup — the salt only reshapes the shuffle
+    "q_conv_running_salted" -> Oracle.convRunningQuery, // identical to the direct window — blocks only reshape the shuffle
     "q_llm_verdict" -> Oracle.llmVerdictQuery,
     "q_llm_pii_only" -> Oracle.llmPiiOnlyQuery,
     "q_llm_rewrite" -> Oracle.llmRewriteQuery,

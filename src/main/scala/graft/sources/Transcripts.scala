@@ -22,6 +22,14 @@ import graft.rules.PiiRules
  */
 object Transcripts {
 
+  /** Cache-invalidation fingerprint for [[generate]]: Bench keys its
+    * /tmp corpus cache by this + the generation parameters, so a change
+    * to the generator's SEMANTICS (sentence pool, injection table, hash
+    * keying, skew rule) can't silently reuse a stale corpus and shift
+    * cross-round comparisons. Rule: bump the suffix whenever the bytes
+    * [[generate]] would produce for a fixed (n, nConvs, skewPct) change. */
+  val generatorVersion: String = "g1"
+
   /** Injection fragments are keyed by doc_id % 11: residues 2/3/4 carry PII
     * forms that the reference's FP digit-gate provably nullifies (risk 0);
     * 0/1/7 yield real matches; 5 exercises the clean chain; 6 the skip
