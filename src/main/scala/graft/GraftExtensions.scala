@@ -38,28 +38,35 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  // every builder validates arity up front: a caller passing the wrong
+  // argument count gets a usage message naming the expected signature,
+  // not a positional IndexOutOfBoundsException from c(1)
+  private def fn(name: String, cls: Class[_], sig: String)
+                (build: Seq[Expression] => Expression): (String, Class[_], Seq[Expression] => Expression) =
+    (name, cls, (c: Seq[Expression]) => {
+      val expected = sig.split(",").length
+      if (c.length != expected)
+        throw new IllegalArgumentException(
+          s"wrong argument count for $name: usage $name($sig) takes $expected argument(s), got ${c.length}")
+      build(c)
+    })
+
   private[graft] val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
-    ("pii_scan", classOf[PiiScanExpr],
-      (c: Seq[Expression]) => PiiScanExpr(c.head)),
-    ("py_collapse_trim", classOf[PyCollapseTrim],
-      (c: Seq[Expression]) => PyCollapseTrim(c.head)),
-    ("minhash_sig", classOf[MinHashSigExpr],
-      (c: Seq[Expression]) => MinHashSigExpr(c.head)),
-    ("cosine", classOf[CosineExpr],
-      (c: Seq[Expression]) => CosineExpr(c.head, c(1))),
-    ("simhash", classOf[SimHashExpr],
-      (c: Seq[Expression]) => SimHashExpr(c.head, litInt(c(1), "simhash hexLen"))),
-    ("fingerprint_min", classOf[FingerprintMinExpr],
-      (c: Seq[Expression]) => FingerprintMinExpr(c.head)),
-    ("cosine_fd", classOf[CosineFDExpr],
-      (c: Seq[Expression]) => CosineFDExpr(c.head, c(1))),
+    fn("pii_scan", classOf[PiiScanExpr], "text")(c => PiiScanExpr(c.head)),
+    fn("py_collapse_trim", classOf[PyCollapseTrim], "text")(c => PyCollapseTrim(c.head)),
+    fn("minhash_sig", classOf[MinHashSigExpr], "text")(c => MinHashSigExpr(c.head)),
+    fn("cosine", classOf[CosineExpr], "vec_a, vec_b")(c => CosineExpr(c.head, c(1))),
+    fn("simhash", classOf[SimHashExpr], "tokens, hex_len")(c =>
+      SimHashExpr(c.head, litInt(c(1), "simhash hex_len"))),
+    fn("fingerprint_min", classOf[FingerprintMinExpr], "text")(c => FingerprintMinExpr(c.head)),
+    fn("cosine_fd", classOf[CosineFDExpr], "vec_a, vec_b")(c => CosineFDExpr(c.head, c(1))),
     // context keywords are the engine's fixed set; SQL callers get the
     // same automaton the fused scanner uses
-    ("ac_any", classOf[AcAnyExpr],
-      (c: Seq[Expression]) => AcAnyExpr(c.head, graft.rules.PiiRules.ContextKeywords)),
-    ("ac_scrub", classOf[AcScrubExpr],
-      (c: Seq[Expression]) => AcScrubExpr(c.head,
-        graft.rules.PiiRules.ContextKeywords, litStr(c(1), "ac_scrub mask")))
+    fn("ac_any", classOf[AcAnyExpr], "text")(c =>
+      AcAnyExpr(c.head, graft.rules.PiiRules.ContextKeywords)),
+    fn("ac_scrub", classOf[AcScrubExpr], "text, mask")(c =>
+      AcScrubExpr(c.head, graft.rules.PiiRules.ContextKeywords,
+        litStr(c(1), "ac_scrub mask")))
   )
 
   private def litStr(e: Expression, what: String): String = e.eval() match {

@@ -28,7 +28,11 @@ import org.apache.spark.unsafe.types.UTF8String
  *  - the keyword set is prefix-free, so at most one keyword can match
  *    at a given start position and alternation order is irrelevant
  *    (asserted at automaton build time — a non-prefix-free set would
- *    need the regex' first-alternative priority).
+ *    need the regex' first-alternative priority);
+ *  - keywords that are SUFFIXES of other keywords ('credit card'/'card')
+ *    are legal: every fail-chain output is emitted per end position, so
+ *    a longer match failing its start boundary can't shadow a shorter
+ *    boundary-valid one (AhoCorasickSpec pins this against the regex).
  *
  * The automaton is built once per keyword set and cached statically;
  * codegen emits a static call (same pattern as the other fused
@@ -58,9 +62,21 @@ object AhoCorasick {
       out(s) = kw.length
     }
     private val fail = new Array[Int](gotoMaps.size)
-    // BFS fail links; propagate outputs (longest suffix keyword)
+    // BFS fail links. Outputs keep the FULL fail-chain set (lengths of
+    // every keyword ending at this node, own-first/descending), not just
+    // the longest: a terminal's own output must not shadow a shorter
+    // suffix keyword ('credit card' vs 'card' — prefix-freeness permits
+    // that pair), because when the longer match fails its START-boundary
+    // check the regex baseline still matches the shorter one. BFS order
+    // guarantees outs(fail(s)) is final before outs(s) is built: fail(s)
+    // sits at a strictly smaller depth, and every depth-d node's outs is
+    // set while processing its depth-(d-1) parent.
     private val queue = scala.collection.mutable.Queue.empty[Int]
-    gotoMaps(0).values.foreach { s => fail(s) = 0; queue += s }
+    private val outs = new Array[Array[Int]](gotoMaps.size)
+    private def ownOut(s: Int): Array[Int] =
+      if (out(s) > 0) Array(out(s)) else Array.emptyIntArray
+    outs(0) = Array.emptyIntArray
+    gotoMaps(0).values.foreach { s => fail(s) = 0; outs(s) = ownOut(s); queue += s }
     while (queue.nonEmpty) {
       val r = queue.dequeue()
       gotoMaps(r).foreach { case (c, s) =>
@@ -68,7 +84,7 @@ object AhoCorasick {
         var f = fail(r)
         while (f != 0 && !gotoMaps(f).contains(c)) f = fail(f)
         fail(s) = gotoMaps(f).getOrElse(c, 0)
-        if (out(s) < 0) out(s) = out(fail(s))
+        outs(s) = ownOut(s) ++ outs(fail(s))
       }
     }
 
@@ -87,19 +103,24 @@ object AhoCorasick {
       gotoMaps(s).getOrElse(c, 0)
     }
 
-    /** Is there any boundary-valid match? */
+    /** Is there any boundary-valid match? Walks every fail-chain output
+      * at each end position (end boundary checked once, starts per-
+      * keyword) so a longer keyword with an invalid start can't shadow a
+      * shorter boundary-valid suffix keyword. */
     def any(text: String): Boolean = {
       var s = 0
       var i = 0
       val n = text.length
       while (i < n) {
         s = step(s, lower(text.charAt(i)))
-        val len = out(s)
-        if (len > 0) {
-          val start = i - len + 1
-          val bOk = (start == 0 || !isWord(text.charAt(start - 1))) &&
-            (i + 1 == n || !isWord(text.charAt(i + 1)))
-          if (bOk) return true
+        val ls = outs(s)
+        if (ls.length > 0 && (i + 1 == n || !isWord(text.charAt(i + 1)))) {
+          var k = 0
+          while (k < ls.length) {
+            val start = i - ls(k) + 1
+            if (start == 0 || !isWord(text.charAt(start - 1))) return true
+            k += 1
+          }
         }
         i += 1
       }
@@ -114,12 +135,15 @@ object AhoCorasick {
       val n = text.length
       while (i < n) {
         s = step(s, lower(text.charAt(i)))
-        val len = out(s)
-        if (len > 0) {
-          val start = i - len + 1
-          if ((start == 0 || !isWord(text.charAt(start - 1))) &&
-              (i + 1 == n || !isWord(text.charAt(i + 1))))
-            hits += ((start, i + 1))
+        val ls = outs(s)
+        if (ls.length > 0 && (i + 1 == n || !isWord(text.charAt(i + 1)))) {
+          var k = 0
+          while (k < ls.length) {
+            val start = i - ls(k) + 1
+            if (start == 0 || !isWord(text.charAt(start - 1)))
+              hits += ((start, i + 1))
+            k += 1
+          }
         }
         i += 1
       }

@@ -27,12 +27,24 @@ object Inputs {
   }
 
   // probing split count costs a plan analysis (df.rdd); operators read
-  // the same path many times per query, so memoize per path
-  private val splitCounts = scala.collection.concurrent.TrieMap.empty[String, Int]
+  // the same path many times per query, so memoize — keyed by the
+  // directory's (mtime, newest-file mtime, file count) fingerprint so a
+  // dataset REWRITTEN at the same path in-session (regenerated test
+  // data, growing corpus) invalidates the entry instead of silently
+  // reusing a stale split count
+  private val splitCounts =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Long, Int), Int]
+
+  private def pathKey(path: String): (String, Long, Long, Int) = {
+    val f = new java.io.File(path)
+    val kids = Option(f.listFiles()).getOrElse(Array.empty)
+    (path, f.lastModified(),
+      if (kids.isEmpty) f.length() else kids.map(_.lastModified()).max, kids.length)
+  }
 
   private def read(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.parquet(path)
-    val n = splitCounts.getOrElseUpdate(path, df.rdd.getNumPartitions)
+    val n = splitCounts.getOrElseUpdate(pathKey(path), df.rdd.getNumPartitions)
     val dp = spark.sparkContext.defaultParallelism
     if (n < dp) df.repartition(dp) else df
   }

@@ -149,7 +149,17 @@ object TextStats {
     * synthetic corpus contains no PII keywords, so a deterministic
     * doc_id-keyed suffix seeds hits (mixed case included) — the oracle
     * runs the equivalent regexp_replace alternation; the keyword set is
-    * prefix-free, so alternation order cannot matter. */
+    * prefix-free, so alternation order cannot matter.
+    *
+    * ORACLE CONTRACT — ASCII-only: the engine scrubs with Java `\b`
+    * semantics (Unicode-aware word chars via Character.isLetterOrDigit,
+    * ASCII case fold), while DuckDB/RE2 'gi' uses an ASCII-only `\b`
+    * and Unicode simple case folding. The two agree exactly on ASCII
+    * text and can diverge on non-ASCII adjacent to keywords ('éphone')
+    * or fold-equivalent non-ASCII chars — so the oracle is valid only
+    * because the documents corpus and the seeded suffixes are pure
+    * ASCII (OperatorsSpec asserts this per sf dir; the Java-vs-regex
+    * UNICODE equivalence itself is property-tested in PropertySpec). */
   val ScrubMask = "[REDACTED-KW]"
 
   def scrubKeywords(spark: SparkSession, dir: String): DataFrame = {

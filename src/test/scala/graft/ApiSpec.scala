@@ -71,4 +71,14 @@ class ApiSpec extends AnyFunSuite with Matchers with SparkTestBase {
     r.getString(6) shouldBe "my [X] and [X]"
     r.getDouble(7) shouldBe 1.0 +- 1e-12
   }
+
+  test("SQL functions reject wrong arity with a usage message, not an index error") {
+    GraftExtensions.register(spark)
+    val e1 = intercept[Exception](spark.sql("SELECT ac_scrub('text only')").collect())
+    e1.getMessage should include("ac_scrub(text, mask)")
+    val e2 = intercept[Exception](spark.sql("SELECT cosine(array(CAST(1.0 AS FLOAT)))").collect())
+    e2.getMessage should include("cosine(vec_a, vec_b)")
+    val e3 = intercept[Exception](spark.sql("SELECT pii_scan('a', 'b')").collect())
+    e3.getMessage should include("pii_scan(text)")
+  }
 }

@@ -14,6 +14,21 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("scrub-keywords oracle contract: the documents corpus is pure ASCII") {
+    // the AC scrub (Java \b, Unicode-aware) and the DuckDB/RE2 'gi'
+    // oracle (ASCII \b) agree only on ASCII text — assert the contract
+    // holds for every sf dir the oracle runs on (see TextStats Scaladoc)
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val nonAscii = spark.read.parquet(s"$d/documents.parquet")
+        .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
+      withClue(s"dir: $d") { nonAscii shouldBe 0L }
+    }
+    // ...and the seeded suffixes + keyword set are ASCII by construction
+    (Seq(" call me on my phone", " my SSN is secret", " Email: test, reach me soon") ++
+      graft.rules.PiiRules.ContextKeywords)
+      .foreach(s => all(s.map(_.toInt)) should be < 128)
+  }
+
   test("exact dedup: content hash is a bijection on this all-distinct corpus") {
     val d = Dedup.exact(spark, dir)
     d.count() shouldBe 500

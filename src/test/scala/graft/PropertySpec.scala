@@ -154,7 +154,7 @@ class PropertySpec extends AnyFunSuite with Matchers {
       val b1 = agg.deserialize(agg.serialize(bufs(1))) // roundtrip a partial
       val merged = agg.merge(agg.merge(bufs(0), b1), bufs(2))
       val got = agg.eval(merged)
-        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq
       got shouldBe values.sorted.reverse.take(k) // sorted desc, k largest
     }
   }
@@ -175,6 +175,33 @@ class PropertySpec extends AnyFunSuite with Matchers {
     (samples ++ texts).foreach { s =>
       withClue(s"input: '$s'") {
         auto.any(s) shouldBe rx.matcher(s).find()
+      }
+    }
+  }
+
+  test("Aho-Corasick suffix-pair keywords ('credit card'/'card'): fail-chain outputs match regex") {
+    // prefix-freeness permits a keyword that is a SUFFIX of another; when
+    // the longer match fails its start boundary the shorter must still
+    // fire (pre-fix, the terminal's own output shadowed fail-link outputs)
+    val kws = Seq("credit card", "card", "social security number", "number")
+    val auto = graft.functions.AhoCorasick.automaton(kws.mkString(""))
+    val rx = java.util.regex.Pattern.compile(
+      "\\b(" + kws.mkString("|") + ")\\b", java.util.regex.Pattern.CASE_INSENSITIVE)
+    val pinned = Seq(
+      "xcredit card on file",        // long start-invalid → 'card' must match
+      "credit card", "my credit card here", "a card", "cardx", "xcard",
+      "credit cardx then card", "social security number",
+      "xsocial security number and a number", "numbercredit card",
+      "Credit Card and CARD", "credit credit card card")
+    val frag = Gen.listOf(Gen.oneOf("credit card", "card", "cards", "xcard",
+      "cardx", "credit", "number", "numbers", "social security number",
+      "x", " ", "_", "9")).map(_.mkString(""))
+    val texts = (0 until 400).flatMap(i => frag(Gen.Parameters.default, Seed(3000L + i)))
+    (pinned ++ texts).foreach { s =>
+      withClue(s"input: '$s'") {
+        auto.any(s) shouldBe rx.matcher(s).find()
+        auto.scrub(s, "[X]") shouldBe
+          rx.matcher(s).replaceAll(java.util.regex.Matcher.quoteReplacement("[X]"))
       }
     }
   }
