@@ -166,6 +166,10 @@ object SparkEntry {
     "q_dedup_keeplist" -> (operators.Dedup.keepList _),
     // quality x language x dedup composed into the per-doc curation flag
     "q_train_filter" -> (operators.TrainFilter.trainFilter _),
+    // production shape: legs staged to parquet once, then joined
+    "q_train_filter_staged" -> ((s, dir) =>
+      operators.TrainFilter.trainFilterStaged(s, dir,
+        s"${sys.props("java.io.tmpdir")}/graft_stage_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")),
     "q_sample_stratified" -> (operators.TextStats.sampleStratified _),
     "q_jaccard_adjacent" -> (operators.Dedup.jaccardAdjacent _),
     "q_simhash" -> (operators.Dedup.simhash _),
@@ -235,6 +239,7 @@ object SparkEntry {
     "q_dup_clusters" -> operators.Dedup.dupClustersOracle(),
     "q_dedup_keeplist" -> operators.Dedup.keepListOracle(),
     "q_train_filter" -> operators.TrainFilter.trainFilterOracle,
+    "q_train_filter_staged" -> operators.TrainFilter.trainFilterOracle, // identical rows — staging only changes where legs are paid for
     "q_sample_stratified" -> operators.TextStats.sampleStratifiedOracle,
     "q_jaccard_adjacent" -> operators.Dedup.jaccardAdjacentOracle,
     "q_simhash" -> operators.Dedup.simhashOracle,

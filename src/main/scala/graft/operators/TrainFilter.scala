@@ -22,16 +22,47 @@ object TrainFilter {
 
   val KeepLang = "en"
 
+  private def compose(q: DataFrame, l: DataFrame, k: DataFrame): DataFrame =
+    q.join(l, "doc_id").join(k, "doc_id")
+      .selectExpr("doc_id",
+        s"pass AND lang_pred = '$KeepLang' AND dedup_keep AS train_keep",
+        "quality_score", "lang_pred", "reason")
+
+  /** Composition PROOF shape: one declarative query re-deriving every
+    * leg from the raw corpus, with an exact nested SQL twin. Use this
+    * for audits/verification; use [[trainFilterStaged]] in production —
+    * re-running shingling+LSH+contraction per consumer is the
+    * anti-pattern at 100 TB. */
   def trainFilter(spark: SparkSession, dir: String): DataFrame = {
     val q = TextStats.quality(spark, dir)
       .select("doc_id", "quality_score", "pass")
     val l = LangIdModel.predict(spark, dir).select("doc_id", "lang_pred")
     val k = Dedup.keepList(spark, dir)
       .select(col("doc_id"), col("keep").as("dedup_keep"), col("reason"))
-    q.join(l, "doc_id").join(k, "doc_id")
-      .selectExpr("doc_id",
-        s"pass AND lang_pred = '$KeepLang' AND dedup_keep AS train_keep",
-        "quality_score", "lang_pred", "reason")
+    compose(q, l, k)
+  }
+
+  /** Production shape: each leg is computed ONCE, written to a staging
+    * table, and the final decision joins the MATERIALIZED frames — so
+    * the expensive legs (the keep-list runs shingling + LSH + graph
+    * contraction) are paid once and reusable by other consumers, and a
+    * failed final join resumes from the staged parquet instead of
+    * recomputing. Same rows as [[trainFilter]] (TrainFilterSpec asserts
+    * hash-equality; same oracle SQL). At cluster scale the staging dir
+    * is a real table (Iceberg/bucketed parquet on doc_id) and the three
+    * final joins co-partition without a shuffle. */
+  def trainFilterStaged(spark: SparkSession, dir: String, stageDir: String): DataFrame = {
+    def stage(name: String, df: DataFrame): DataFrame = {
+      val p = s"$stageDir/$name"
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    val q = stage("quality", TextStats.quality(spark, dir)
+      .select("doc_id", "quality_score", "pass"))
+    val l = stage("langid", LangIdModel.predict(spark, dir).select("doc_id", "lang_pred"))
+    val k = stage("keeplist", Dedup.keepList(spark, dir)
+      .select(col("doc_id"), col("keep").as("dedup_keep"), col("reason")))
+    compose(q, l, k)
   }
 
   /** The three legs' oracles nested as CTE bodies + the same joins. */

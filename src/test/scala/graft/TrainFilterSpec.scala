@@ -1,0 +1,27 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.operators.TrainFilter
+
+/** Composed-vs-staged equivalence: the production shape (legs
+  * materialized to parquet once, then joined) must be row-identical to
+  * the single declarative query the oracle verifies. */
+class TrainFilterSpec extends AnyFunSuite with Matchers with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("trainFilterStaged hash-equals the composed trainFilter") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_stage_spec").toString
+    val composed = TrainFilter.trainFilter(spark, dir)
+    val staged = TrainFilter.trainFilterStaged(spark, dir, stageDir)
+    staged.schema.map(f => (f.name, f.dataType)) shouldBe
+      composed.schema.map(f => (f.name, f.dataType))
+    staged.exceptAll(composed).count() shouldBe 0L
+    composed.exceptAll(staged).count() shouldBe 0L
+    // the legs really were materialized (resume/reuse point exists)
+    Seq("quality", "langid", "keeplist").foreach { leg =>
+      spark.read.parquet(s"$stageDir/$leg").count() shouldBe 500L
+    }
+  }
+}
