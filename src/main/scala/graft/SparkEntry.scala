@@ -204,7 +204,10 @@ object SparkEntry {
     // metadata) over the deterministic generated media table
     "q_media_frames" -> (operators.Multimodal.framesQuery _),
     "q_media_resize" -> (operators.Multimodal.resizeQuery _),
-    "q_media_audio_gate" -> (operators.Multimodal.audioGateQuery _)
+    "q_media_audio_gate" -> (operators.Multimodal.audioGateQuery _),
+    // REAL audio decode: in-engine RIFF/WAVE PCM bytes, chunk-walking
+    // parser, hex-arithmetic oracle re-parsing the same header fields
+    "q_media_wav" -> (operators.Multimodal.wavQuery _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -266,6 +269,7 @@ object SparkEntry {
     "q_fingerprint" -> operators.TextStats.fingerprintOracle,
     "q_media_frames" -> operators.Multimodal.framesOracle,
     "q_media_resize" -> operators.Multimodal.resizeOracle,
-    "q_media_audio_gate" -> operators.Multimodal.audioGateOracle
+    "q_media_audio_gate" -> operators.Multimodal.audioGateOracle,
+    "q_media_wav" -> operators.Multimodal.wavOracle
   )
 }

@@ -8,12 +8,17 @@ import org.apache.spark.sql.functions._
  * `binary` payloads with typed metadata; decode / feature-extraction /
  * resize / frame-sampling run as batched per-partition stages.
  *
- * The DECODE KERNELS ARE STUBS — this container has no image/audio
- * codecs — marked `stubDecode*` and implemented as deterministic
- * byte-derived fakes. Everything around them is real and tested: the
- * schema, the batched iterator shape (the same contract a Pandas-UDF /
- * `mapInPandas` stage has in PySpark — fixed-size batches in, rows
- * out), the 1→N frame-sampling generator, and the partitioning.
+ * The IMAGE/VIDEO decode kernels are STUBS — this container has no
+ * image/video codecs — marked `stubDecode*` and implemented as
+ * deterministic byte-derived fakes. AUDIO decode is REAL: [[WavKernel]]
+ * walks RIFF chunks, parses the PCM format header, and computes sample
+ * statistics from the raw bytes (header-only formats need no codec),
+ * with a hex-arithmetic DuckDB oracle over the same bytes
+ * ([[wavOracle]]). Everything around the remaining stubs is real and
+ * tested: the schema, the batched iterator shape (the same contract a
+ * Pandas-UDF / `mapInPandas` stage has in PySpark — fixed-size batches
+ * in, rows out), the 1→N frame-sampling generator, and the
+ * partitioning.
  */
 object Multimodal {
 
@@ -37,8 +42,9 @@ object Multimodal {
     ).as[Media]
   }
 
-  /** STUB decode+embed kernel: a real implementation would decode the
-    * payload (JPEG/PCM/container) and run a vision/audio encoder; the
+  /** STUB decode+embed kernel (IMAGE/VIDEO only — audio has the real
+    * [[WavKernel]] below): a real implementation would decode the
+    * payload (JPEG/container) and run a vision encoder; the
     * deterministic fake derives an 8-dim feature vector from payload
     * bytes so the surrounding plumbing is testable end-to-end. */
   private def stubDecodeEmbed(payload: Array[Byte]): Array[Float] = {
@@ -164,6 +170,151 @@ object Multimodal {
        |      i -> ('0x' || substr(h, i * 2 - 1, 2))::BIGINT), (a, b) -> a + b) AS BIGINT) AS amp_sum,
        |    CAST(length(h) // 2 AS BIGINT) AS n_bytes
        |  FROM (SELECT media_id, lower(hex(payload)) AS h FROM media WHERE kind = 'audio'))""".stripMargin
+
+  // ---- REAL audio decode: RIFF/WAVE PCM is pure byte arithmetic, no
+  // codec needed. The table is generated in-engine as genuine WAV files
+  // (44-byte canonical header + 8-bit mono PCM), the kernel is a real
+  // chunk-walking parser over the raw bytes, and the DuckDB twin
+  // re-parses the SAME fields from the hex rendering — so a wrong
+  // header byte, a wrong little-endian decode, or a wrong sample stat
+  // all hash-mismatch.
+
+  case class WavStats(media_id: Long, sample_rate: Int, n_samples: Int,
+                      duration_ms: Int, peak_amp: Int, sq_sum: Long,
+                      rms: Double, clip_count: Int)
+
+  /** Real RIFF/WAVE parser + PCM sample statistics. Walks chunks (with
+    * RIFF word alignment) rather than assuming fixed offsets, validates
+    * magics and the PCM format, and computes loudness stats over the
+    * unsigned 8-bit samples: peak |s-128|, integer-exact sum of squared
+    * deviations (so the oracle can match it exactly), RMS, and the
+    * clipped-sample count. Throws on malformed input — a corrupt media
+    * row should fail loudly, not score silently. */
+  object WavKernel {
+    private def u16le(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def u32le(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    def stats(mediaId: Long, b: Array[Byte]): WavStats = {
+      require(b.length >= 44 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE",
+        s"media $mediaId: not a RIFF/WAVE payload")
+      var pos = 12
+      var rate = -1
+      var bits = -1
+      var channels = -1
+      var dataOff = -1
+      var dataLen = -1
+      while (pos + 8 <= b.length && (rate < 0 || dataOff < 0)) {
+        val id = tag(b, pos)
+        val size = u32le(b, pos + 4).toInt
+        if (id == "fmt ") {
+          require(u16le(b, pos + 8) == 1, s"media $mediaId: not PCM")
+          channels = u16le(b, pos + 10)
+          rate = u32le(b, pos + 12).toInt
+          bits = u16le(b, pos + 22)
+        } else if (id == "data") {
+          dataOff = pos + 8
+          dataLen = size
+        }
+        pos += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      }
+      require(rate > 0 && dataOff >= 0 && dataOff + dataLen <= b.length,
+        s"media $mediaId: missing fmt/data chunk")
+      require(bits == 8 && channels == 1,
+        s"media $mediaId: kernel handles 8-bit mono PCM, got $bits-bit x$channels")
+      var i = dataOff
+      var peak = 0
+      var sq = 0L
+      var clip = 0
+      while (i < dataOff + dataLen) {
+        val v = b(i) & 0xff
+        val d = v - 128
+        val a = if (d < 0) -d else d
+        if (a > peak) peak = a
+        sq += d.toLong * d
+        if (v == 0 || v == 255) clip += 1
+        i += 1
+      }
+      // rms left UNROUNDED here; the query rounds via Spark SQL round()
+      // so the cross-engine rounding path is the same one every other
+      // oracle query already proves against DuckDB
+      WavStats(mediaId, rate, dataLen, (dataLen.toLong * 1000L / rate).toInt,
+        peak, sq, math.sqrt(sq.toDouble / dataLen), clip)
+    }
+  }
+
+  /** Little-endian hex of an n-byte integer field, as a SQL fragment —
+    * same construction in Spark (format_string) and DuckDB (printf). */
+  private def leHex(expr: String, bytes: Int, printfFn: String): String = {
+    val s = s"$printfFn('%0${bytes * 2}x', $expr)"
+    (0 until bytes).map(i => s"substr($s, ${2 * (bytes - 1 - i) + 1}, 2)")
+      .mkString(" || ")
+  }
+
+  /** The WAV table's hex image: canonical 44-byte PCM header + 8-bit
+    * mono samples taken from md5 bytes; rate/length vary per row so the
+    * header arithmetic is exercised, not constant-folded. */
+  private def wavHexSql(printfFn: String, idExpr: String, md5Cast: String): String = {
+    val rate = s"(8000 + ($idExpr % 3) * 4000)"
+    val n = s"(16 + ($idExpr % 17))"
+    s"'52494646' || ${leHex(s"(36 + $n)", 4, printfFn)} || '57415645'" + // RIFF size WAVE
+      s" || '666d7420' || '10000000' || '0100' || '0100'" + // fmt :16, PCM, mono
+      s" || ${leHex(rate, 4, printfFn)} || ${leHex(rate, 4, printfFn)}" + // rate, byteRate(=rate: mono 8-bit)
+      s" || '0100' || '0800' || '64617461' || ${leHex(n, 4, printfFn)}" + // align 1, 8 bits, data, size
+      s" || substr(md5(CAST($idExpr AS $md5Cast)) || md5(CAST($idExpr + 17 AS $md5Cast)), 1, $n * 2)"
+  }
+
+  /** Deterministic WAV media table: genuine playable RIFF bytes. */
+  def generateWav(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).selectExpr("id AS media_id",
+      s"unhex(${wavHexSql("format_string", "id", "STRING")}) AS payload")
+
+  /** Batched REAL decode over the WAV table (same batch contract as
+    * [[extractFeatures]]). */
+  def wavQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    generateWav(spark, GateRows).as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(FeatureBatch).flatMap(
+        _.map { case (id, payload) => WavKernel.stats(id, payload) }))
+      .toDF()
+      .withColumn("rms", round(col("rms"), 6))
+  }
+
+  /** DuckDB twin: rebuilds the same hex image, then PARSES the header
+    * fields back out of the hex (LE byte swaps) and recomputes the
+    * sample stats — nothing is taken from the generator parameters
+    * except the bytes themselves. */
+  val wavOracle: String = {
+    def u32le(bytePos: Int) = // 1-based byte position in the hex image
+      s"('0x' || substr(h, ${2 * (bytePos + 3) - 1}, 2) || substr(h, ${2 * (bytePos + 2) - 1}, 2)" +
+        s" || substr(h, ${2 * (bytePos + 1) - 1}, 2) || substr(h, ${2 * bytePos - 1}, 2))::BIGINT"
+    s"""WITH wav AS (
+       |  SELECT s AS media_id, ${wavHexSql("printf", "s", "VARCHAR")} AS h
+       |  FROM generate_series(0, ${GateRows - 1}) AS g(s)
+       |), parsed AS (
+       |  SELECT media_id, h,
+       |    ${u32le(25)} AS sample_rate,
+       |    ${u32le(41)} AS data_len
+       |  FROM wav
+       |), samples AS (
+       |  SELECT media_id, sample_rate, data_len,
+       |    list_transform(generate_series(45, 44 + CAST(data_len AS INT)),
+       |      i -> ('0x' || substr(h, 2 * i - 1, 2))::BIGINT - 128) AS d
+       |  FROM parsed)
+       |SELECT media_id,
+       |  CAST(sample_rate AS INT) AS sample_rate,
+       |  CAST(data_len AS INT) AS n_samples,
+       |  CAST(data_len * 1000 // sample_rate AS INT) AS duration_ms,
+       |  CAST(list_max(list_transform(d, v -> abs(v))) AS INT) AS peak_amp,
+       |  CAST(list_sum(list_transform(d, v -> v * v)) AS BIGINT) AS sq_sum,
+       |  round(sqrt(CAST(list_sum(list_transform(d, v -> v * v)) AS DOUBLE) / data_len), 6) AS rms,
+       |  CAST(len(list_filter(d, v -> v = -128 OR v = 127)) AS INT) AS clip_count
+       |FROM samples""".stripMargin
+  }
 
   val resizeOracle: String =
     s"""$mediaCte

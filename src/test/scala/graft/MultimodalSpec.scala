@@ -44,6 +44,58 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
     Multimodal.sampleFrames(spark, short).count() shouldBe 0L
   }
 
+  private def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+  private def le32(v: Int) =
+    Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+  private def wavBytes(rate: Int, samples: Array[Int], extraChunk: Boolean = false): Array[Byte] = {
+    val data = samples.map(_.toByte)
+    val extra = if (extraChunk) "LIST".getBytes ++ le32(3) ++ Array[Byte](1, 2, 3, 0) else Array.empty[Byte] // odd size => pad byte
+    val body = "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(rate) ++ le32(rate) ++ le16(1) ++ le16(8) ++
+      extra ++ "data".getBytes ++ le32(data.length) ++ data
+    "RIFF".getBytes ++ le32(body.length) ++ body
+  }
+
+  test("WAV kernel: known-answer stats on a hand-built 8-bit PCM file") {
+    val s = Multimodal.WavKernel.stats(7L, wavBytes(8000, Array(128, 255, 0, 130)))
+    s shouldBe Multimodal.WavStats(7L, 8000, 4, 0, 128,
+      127L * 127 + 128L * 128 + 4, math.sqrt((127L * 127 + 128L * 128 + 4) / 4.0), 2)
+  }
+
+  test("WAV kernel: real chunk walker skips unknown odd-sized chunks (RIFF padding)") {
+    val s = Multimodal.WavKernel.stats(8L, wavBytes(12000, Array(130, 126), extraChunk = true))
+    s.sample_rate shouldBe 12000
+    s.n_samples shouldBe 2
+    s.peak_amp shouldBe 2
+  }
+
+  test("WAV kernel: malformed payloads fail loudly") {
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.WavKernel.stats(9L, Array.fill[Byte](44)(0))
+    val notPcm = wavBytes(8000, Array(128))
+    notPcm(20) = 3 // audioFormat = IEEE float
+    an[IllegalArgumentException] should be thrownBy Multimodal.WavKernel.stats(9L, notPcm)
+  }
+
+  test("generated WAVs are genuine files: the JDK's own parser agrees on every row") {
+    import javax.sound.sampled.AudioSystem
+    Multimodal.generateWav(spark, 60L).collect().foreach { row =>
+      val id = row.getLong(0)
+      val bytes = row.getAs[Array[Byte]](1)
+      val fmt = AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      fmt.getType.getExtension shouldBe "wav"
+      fmt.getFormat.getSampleRate shouldBe (8000 + (id % 3) * 4000).toFloat
+      fmt.getFormat.getSampleSizeInBits shouldBe 8
+      fmt.getFormat.getChannels shouldBe 1
+      fmt.getFrameLength shouldBe (16 + id % 17)
+      // and our kernel agrees with the JDK on the header fields
+      val s = Multimodal.WavKernel.stats(id, bytes)
+      s.sample_rate shouldBe fmt.getFormat.getSampleRate.toInt
+      s.n_samples shouldBe fmt.getFrameLength
+    }
+  }
+
   test("resize metadata: aspect-preserving, never upscales") {
     val r = Multimodal.resizeMeta(media, maxDim = 100).collect()
     r.foreach { row =>
