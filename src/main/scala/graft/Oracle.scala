@@ -255,6 +255,29 @@ object Oracle {
        |SELECT count(*) AS displayed_turns
        |FROM verdict WHERE NOT skipped AND risk_raw > 0.0""".stripMargin
 
+  /** Lexicon-coverage metric twin: the bundled VADER subset's word set
+    * (alphabetic slice) is embedded as a VALUES list so DuckDB applies
+    * the EXACT same membership function the engine does — measuring,
+    * per corpus, how many scored tokens the subset covers vs how many
+    * alphabetic tokens score zero purely for being out-of-subset. */
+  def sentimentCoverageQuery: String = {
+    val values = graft.rules.Vader.LexiconAlphaWords.map(w => s"('$w')").mkString(",")
+    s"""$verdictCte,
+       |lex(tok) AS (VALUES $values),
+       |toks AS (
+       |  SELECT u.tok FROM verdict, LATERAL unnest(
+       |    regexp_extract_all(lower(clean_text), '[a-z]+')) AS u(tok)
+       |  WHERE NOT skipped AND length(u.tok) > 1
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS total_tokens,
+       |  CAST(sum(CASE WHEN l.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS covered_tokens,
+       |  CAST(sum(CASE WHEN l.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS zero_scored_tokens,
+       |  round(CAST(sum(CASE WHEN l.tok IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS coverage,
+       |  CAST(count(DISTINCT t.tok) AS BIGINT) AS distinct_tokens,
+       |  CAST(count(DISTINCT CASE WHEN l.tok IS NOT NULL THEN t.tok END) AS BIGINT) AS distinct_covered
+       |FROM toks t LEFT JOIN lex l ON l.tok = t.tok""".stripMargin
+  }
+
   /** X8 deterministic-UUID scrub mode (uuid4-shaped, sha256-derived). */
   val scrubUuidQuery: String =
     s"""$verdictCte

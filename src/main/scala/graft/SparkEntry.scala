@@ -57,6 +57,24 @@ object SparkEntry {
     "q_sentiment" -> ((s, dir) =>
       Verdict(transcripts(s, dir))
         .select("conv_id", "turn_idx", "sentiment_score", "sentiment_label")),
+    // X1 fidelity metric: how much of THIS corpus' scored vocabulary the
+    // bundled lexicon subset covers (pure SQL → real DuckDB twin), so
+    // the residual VADER gap is measured per corpus instead of asserted
+    "q_sentiment_coverage" -> ((s, dir) => {
+      val toks = Verdict(transcripts(s, dir)).filter(!col("skipped"))
+        .select(explode(expr("regexp_extract_all(lower(clean_text), '[a-z]+', 0)")).as("tok"))
+        .filter(length(col("tok")) > 1)
+      import s.implicits._
+      val lex = rules.Vader.LexiconAlphaWords.toDF("tok").withColumn("in_lex", lit(1))
+      toks.join(broadcast(lex), Seq("tok"), "left").agg(
+        count(lit(1)).as("total_tokens"),
+        sum(when(col("in_lex").isNotNull, 1L).otherwise(0L)).as("covered_tokens"),
+        sum(when(col("in_lex").isNull, 1L).otherwise(0L)).as("zero_scored_tokens"),
+        round(sum(when(col("in_lex").isNotNull, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("coverage"),
+        countDistinct(col("tok")).as("distinct_tokens"),
+        countDistinct(when(col("in_lex").isNotNull, col("tok"))).as("distinct_covered"))
+    }),
     // A1 + A2: overall sentiment (banker's-rounded avg over processed rows)
     "q_sentiment_agg" -> ((s, dir) => {
       val v = Verdict(transcripts(s, dir)).filter(!col("skipped"))
@@ -230,6 +248,7 @@ object SparkEntry {
     "q_llm_pii_only" -> Oracle.llmPiiOnlyQuery,
     "q_llm_rewrite" -> Oracle.llmRewriteQuery,
     "q_displayed_count" -> Oracle.displayedCountQuery,
+    "q_sentiment_coverage" -> Oracle.sentimentCoverageQuery,
     "q_sessionize" -> operators.Events.sessionizeOracle,
     "q_session_stats" -> operators.Events.sessionStatsOracle,
     "q_tumbling" -> operators.Events.tumblingOracle,

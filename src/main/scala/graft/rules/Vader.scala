@@ -19,7 +19,7 @@ import scala.math.{abs, sqrt}
  *    ("FUNNY!!!" -> "FUNNY" but "good!!!!" survives unstripped and
  *    misses the lexicon).
  *
- * The lexicon is a bundled ~4.8k-entry subset of the published
+ * The lexicon is a bundled ~6.1k-entry subset of the published
  * ~7.5k-entry vader_lexicon (MIT) — src/main/resources/
  * vader_lexicon_subset.txt, hand-curated from public knowledge of the
  * file (this sandbox has no egress to fetch it). Values follow the
@@ -116,6 +116,13 @@ object Vader {
       val sp = line.lastIndexOf(' ')
       line.substring(0, sp) -> line.substring(sp + 1).toDouble
     }.toMap
+
+  /** The plain-lowercase-word slice of the lexicon (no emoticons /
+    * punctuation tokens) — the membership domain of the oracle-checked
+    * coverage metric (q_sentiment_coverage), which measures how much of
+    * a corpus' alphabetic vocabulary the bundled subset can score. */
+  lazy val LexiconAlphaWords: Seq[String] =
+    Lexicon.keysIterator.filter(_.forall(c => c >= 'a' && c <= 'z')).toSeq.sorted
 
   /** Python str.isupper(): at least one cased char, all cased chars upper. */
   private def isUpperPy(s: String): Boolean = {
