@@ -202,6 +202,10 @@ object SparkEntry {
     "q_embed_neardup_ivf" -> ((s, dir) => operators.Similarity.embedNearDupIvf(s, dir)),
     "q_ivf_cells" -> (operators.Similarity.ivfCells _),
     "q_ann_ivf" -> ((s, dir) => operators.Similarity.annIvf(s, dir)),
+    // same operator at 2 Lloyd passes — proves the iteration
+    // parameterization cross-engine (the oracle CTE chain is generated
+    // for the same iteration count)
+    "q_ann_ivf2" -> ((s, dir) => operators.Similarity.annIvf(s, dir, iterations = 2)),
     // O1/O2: sort dispatch + limit (top-N: TakeOrderedAndProject)
     "q_recent_turns" -> ((s, dir) =>
       Verdict(transcripts(s, dir))
@@ -276,6 +280,7 @@ object SparkEntry {
     "q_embed_neardup_ivf" -> operators.Similarity.embedNearDupIvfOracle(),
     "q_ivf_cells" -> operators.Similarity.ivfCellsOracle,
     "q_ann_ivf" -> operators.Similarity.annIvfOracle(),
+    "q_ann_ivf2" -> operators.Similarity.annIvfOracle(iterations = 2),
     "q_recent_turns" -> (Oracle.verdictCte +
       "\nSELECT conv_id, turn_idx, keep FROM verdict ORDER BY turn_idx DESC, conv_id ASC LIMIT 20"),
     "q_langid" -> operators.TextStats.langIdOracle,

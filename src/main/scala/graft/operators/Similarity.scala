@@ -316,79 +316,116 @@ object Similarity {
   /** How many of the query's nearest refined centroids to probe. */
   val IvfNProbe = 2
 
-  /** Refined centroids: one deterministic Lloyd iteration over the seed
-    * assignment — per cell, the FIXED-POINT mean of its members: each
-    * component is rounded to 1e-6 ticks, summed as integers (order-free,
-    * so cross-engine exact), offset non-negative, floor-divided by the
-    * member count. ≤ [[IvfCentroids]] rows; broadcast everywhere used. */
-  private def refinedCentroids(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, count, expr, lit, round, sum}
-    val e = Inputs.embeddings(spark, dir)
-    val cents = e.filter(s"vec_id BETWEEN 1 AND $IvfCentroids")
-      .selectExpr("vec_id AS cent_id", "embedding AS cent")
-    // assign0 == ivfCells, with the member embedding carried through the
-    // aggregate (group-constant, so first() is deterministic) to avoid a
-    // corpus-sized rejoin
-    val a0 = e.join(broadcast(cents))
+  /** Nearest-centroid assignment (vec_id, embedding, cent_id) against a
+    * broadcast codebook (≤ [[IvfCentroids]] rows): the packed max_by
+    * HashAggregate — (ccos 6dp-rounded, so ccos*1e6 is integral; cent_id
+    * < 1024) packed into one BIGINT keeps the buffer fixed-width, so no
+    * sort anywhere. `floatCodebook` selects the float×float cosine
+    * kernel (raw seed embeddings) vs the float×double one (refined
+    * fixed-point-mean centroids are double[]); both compute in double
+    * with identical summation order. The member embedding is carried
+    * through the aggregate (group-constant, so first() is
+    * deterministic) to avoid a corpus-sized rejoin. */
+  private def assignTo(e: DataFrame, codebook: DataFrame,
+                       floatCodebook: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, expr, round}
+    val cos =
+      if (floatCodebook) graft.functions.Cosine(col("embedding"), col("cent"))
+      else graft.functions.Cosine.fd(col("embedding"), col("cent"))
+    e.join(broadcast(codebook))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
-        round(graft.functions.Cosine(col("embedding"), col("cent")), 6).as("ccos"))
+        round(cos, 6).as("ccos"))
       .groupBy("vec_id")
       .agg(expr(
         "max_by(cent_id, CAST(round(ccos * 1000000) AS BIGINT) * 1024 - cent_id) AS cent_id"),
         expr("first(embedding) AS embedding"))
+  }
+
+  /** Per-cell FIXED-POINT mean of the members of an assignment: each
+    * component rounded to 1e-6 ticks, summed as integers (order-free, so
+    * cross-engine exact), offset non-negative, floor-divided by the
+    * member count. Cells that lost all members simply vanish (GROUP BY
+    * semantics, same in both engines). */
+  private def fixedPointMeans(assign: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{count, expr, lit, sum}
     val sums = (0 until Dim).map(j => sum(expr(
       s"CAST(round(CAST(element_at(embedding, ${j + 1}) AS DOUBLE) * 1000000) AS BIGINT)")).as(s"s$j"))
     val mean = (0 until Dim).map(j =>
       s"CAST(((s$j + 1000000 * cnt) div cnt) - 1000000 AS DOUBLE) / 1000000.0").mkString(", ")
-    a0.groupBy("cent_id")
+    assign.groupBy("cent_id")
       .agg(count(lit(1)).as("cnt"), sums: _*)
       .selectExpr("cent_id", s"array($mean) AS cent")
   }
 
-  /** IVF-probed ANN with one k-means refinement pass and nprobe =
-    * [[IvfNProbe]]: assign every vector to its nearest REFINED centroid,
-    * probe the query's [[IvfNProbe]] nearest cells, exact-rank the
-    * candidates. All centroid joins broadcast (≤ 16 rows); assignment is
-    * the packed max_by HashAggregate (no window, no sort); the final
-    * top-k is TakeOrderedAndProject.
+  /** Codebook after `iterations` deterministic Lloyd passes over the
+    * seed centroids (iterations = 0 → the raw float seeds themselves).
+    * Each pass = one broadcast-join assignment over the corpus + one
+    * ≤[[IvfCentroids]]-row aggregation; the tiny codebook is
+    * localCheckpoint'ed per pass so plan depth stays constant. Returns
+    * (codebook, isFloat) — isFloat tells callers which cosine kernel
+    * matches the codebook's element type. */
+  private def refinedCentroids(spark: SparkSession, dir: String,
+                               iterations: Int = 1): (DataFrame, Boolean) = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val e = Inputs.embeddings(spark, dir)
+    val seeds = e.filter(s"vec_id BETWEEN 1 AND $IvfCentroids")
+      .selectExpr("vec_id AS cent_id", "embedding AS cent")
+    var codebook = seeds
+    var isFloat = true
+    for (_ <- 1 to iterations) {
+      codebook = fixedPointMeans(assignTo(e, codebook, isFloat)).localCheckpoint()
+      isFloat = false
+    }
+    (codebook, isFloat)
+  }
+
+  /** IVF-probed ANN with `iterations` k-means refinement passes
+    * (default 1; 0 = raw seed centroids) and nprobe = [[IvfNProbe]]:
+    * assign every vector to its nearest codebook centroid, probe the
+    * query's nprobe nearest cells, exact-rank the candidates. All
+    * centroid joins broadcast (≤ 16 rows); assignment is the packed
+    * max_by HashAggregate (no window, no sort); the final top-k is
+    * TakeOrderedAndProject.
     *
-    * Measured recall vs [[annTopK]] brute force (same k=5, RecallProbe,
-    * pinned by OperatorsSpec): nprobe=2 finds 3/5 at sf0.001 AND sf0.01,
-    * vs 1/5 and 2/5 at nprobe=1 — i.e. probing 2/16 cells (12.5% of the
-    * corpus) buys 60% of exact recall on this NEAR-ORTHOGONAL synthetic
-    * corpus, the hardest case for coarse quantization (real embedding
-    * corpora cluster, so their cells align far better with true
-    * neighbors; recall then climbs with nprobe exactly as here). */
-  /** assign1: nearest refined centroid per vector — fused float×double
+    * Measured recall vs [[annTopK]] brute force (same k=5; full
+    * recall-vs-(nprobe, iterations) grid from tools/RecallProbe in
+    * COVERAGE.md; sf0.001 points pinned by OperatorsSpec): at
+    * iterations=1, nprobe=2 finds 3/5 at BOTH sf, rising to 4/5 (sf0.001)
+    * and 5/5 (sf0.01) at nprobe=8 — i.e. probing 2/16 cells (12.5% of
+    * the corpus) buys 60% of exact recall on this NEAR-ORTHOGONAL
+    * synthetic corpus, the hardest case for coarse quantization, and
+    * recall climbs monotonically with nprobe. Extra Lloyd passes are
+    * recall-neutral here (near-orthogonal vectors give k-means nothing
+    * to converge onto — means barely move); on clustered real corpora
+    * the refined cells align with similarity structure, which is where
+    * iterations earns its cost. The iteration parameterization itself is
+    * oracle-proven cross-engine by q_ann_ivf2 (iterations=2). */
+  /** Final assignment: nearest codebook centroid per vector — fused
     * cosine kernel (same left-to-right sums as the HOF/SQL form, one
     * codegen'd loop instead of 6·dim interpreted lambda calls per pair).
-    * Returns (assignment with embedding carried, broadcastable codebook). */
-  private def ivfAssignment(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.functions.{broadcast, col, expr, round}
+    * Returns (assignment with embedding carried, broadcastable codebook,
+    * codebook-is-float). The codebook (≤ IvfCentroids rows) feeds the
+    * vector assignment, the query probe, and the candidate join —
+    * materialized once (localCheckpoint in refinedCentroids) instead of
+    * re-running the training passes per consumer. */
+  private def ivfAssignment(spark: SparkSession, dir: String,
+                            iterations: Int = 1): (DataFrame, DataFrame, Boolean) = {
     val e = Inputs.embeddings(spark, dir)
-    // the codebook (≤ IvfCentroids rows) feeds the vector assignment, the
-    // query probe, and the candidate join — materialize it once instead
-    // of re-running the training pass per consumer
-    val rc = refinedCentroids(spark, dir).localCheckpoint()
-    val a1 = e.join(broadcast(rc))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        round(graft.functions.Cosine.fd(col("embedding"), col("cent")), 6).as("ccos"))
-      .groupBy("vec_id")
-      .agg(expr(
-        "max_by(cent_id, CAST(round(ccos * 1000000) AS BIGINT) * 1024 - cent_id) AS cent_id"),
-        expr("first(embedding) AS embedding"))
-    (a1, rc)
+    val (rc, isFloat) = refinedCentroids(spark, dir, iterations)
+    (assignTo(e, rc, isFloat), rc, isFloat)
   }
 
   def annIvf(spark: SparkSession, dir: String, k: Int = 5,
-             nprobe: Int = IvfNProbe): DataFrame = {
+             nprobe: Int = IvfNProbe, iterations: Int = 1): DataFrame = {
     import org.apache.spark.sql.functions.{asc, broadcast, col, desc, round}
     val e = Inputs.embeddings(spark, dir)
-    val (a1, rc) = ivfAssignment(spark, dir)
+    val (a1, rc, cbFloat) = ivfAssignment(spark, dir, iterations)
     val q = e.filter("vec_id = 0").selectExpr("embedding AS qv")
+    val qcosExpr =
+      if (cbFloat) graft.functions.Cosine(col("qv"), col("cent"))
+      else graft.functions.Cosine.fd(col("qv"), col("cent"))
     val qtop = rc.join(broadcast(q))
-      .select(col("cent_id"),
-        round(graft.functions.Cosine.fd(col("qv"), col("cent")), 6).as("qcos"))
+      .select(col("cent_id"), round(qcosExpr, 6).as("qcos"))
       .orderBy(desc("qcos"), asc("cent_id")).limit(nprobe)
       .select("cent_id")
     a1.join(broadcast(qtop), "cent_id")
@@ -400,40 +437,50 @@ object Similarity {
       .limit(k)
   }
 
-  /** Shared oracle CTE chain: seeds -> assign0 -> fixed-point refined
-    * centroids -> assign1 (emitted WITHOUT the leading WITH keyword). */
-  private def ivfCteChain: String = {
+  /** Shared oracle CTE chain, parameterized on Lloyd passes: seeds
+    * (cents0) -> [assign -> fixed-point means] × iterations -> rcent
+    * (the final codebook) -> a1 (the final assignment). Emitted WITHOUT
+    * the leading WITH keyword; the terminal CTE names `rcent`/`a1` are
+    * fixed so every consumer query body is iteration-agnostic. Mirrors
+    * [[refinedCentroids]]/[[ivfAssignment]] exactly (cosSql computes in
+    * double either way, so the float/double codebook distinction the
+    * Scala kernels carry is a no-op here). */
+  private def ivfCteChain(iterations: Int = 1): String = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     val sums = (0 until Dim).map(j =>
       s"CAST(sum(CAST(round(embedding[${j + 1}]::DOUBLE * 1000000) AS BIGINT)) AS BIGINT) AS s$j")
       .mkString(",\n    ")
     val mean = (0 until Dim).map(j =>
       s"(((s$j + 1000000 * cnt) // cnt) - 1000000)::DOUBLE / 1000000.0").mkString(", ")
-    s"""cents AS (
-       |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
-       |  WHERE vec_id BETWEEN 1 AND $IvfCentroids
-       |), scored0 AS (
-       |  SELECT e.vec_id, e.embedding, c.cent_id,
-       |    round(${cosSql("e.embedding", "c.cent")}, 6) AS ccos
-       |  FROM embeddings e CROSS JOIN cents c
-       |), a0 AS (
-       |  SELECT vec_id, embedding, cent_id FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rk
-       |    FROM scored0) WHERE rk = 1
-       |), rsums AS (
-       |  SELECT cent_id, count(*) AS cnt,
-       |    $sums
-       |  FROM a0 GROUP BY cent_id
-       |), rcent AS (
-       |  SELECT cent_id, [$mean] AS cent FROM rsums
-       |), scored1 AS (
-       |  SELECT e.vec_id, e.embedding, r.cent_id,
-       |    round(${cosSql("e.embedding", "r.cent")}, 6) AS ccos
-       |  FROM embeddings e CROSS JOIN rcent r
-       |), a1 AS (
-       |  SELECT vec_id, embedding, cent_id FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rk
-       |    FROM scored1) WHERE rk = 1
-       |)""".stripMargin
+    def assignCte(name: String, codebook: String): String =
+      s"""${name}_scored AS (
+         |  SELECT e.vec_id, e.embedding, c.cent_id,
+         |    round(${cosSql("e.embedding", "c.cent")}, 6) AS ccos
+         |  FROM embeddings e CROSS JOIN $codebook c
+         |), $name AS (
+         |  SELECT vec_id, embedding, cent_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS rk
+         |    FROM ${name}_scored) WHERE rk = 1
+         |)""".stripMargin
+    val seed =
+      s"""cents0 AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+         |  WHERE vec_id BETWEEN 1 AND $IvfCentroids
+         |)""".stripMargin
+    val passes = (1 to iterations).map { t =>
+      s"""${assignCte(s"a0_$t", s"cents${t - 1}")}, rsums$t AS (
+         |  SELECT cent_id, count(*) AS cnt,
+         |    $sums
+         |  FROM a0_$t GROUP BY cent_id
+         |), cents$t AS (
+         |  SELECT cent_id, [$mean] AS cent FROM rsums$t
+         |)""".stripMargin
+    }
+    val terminal =
+      s"""rcent AS (
+         |  SELECT cent_id, cent FROM cents$iterations
+         |), ${assignCte("a1", "rcent")}""".stripMargin
+    (Seq(seed) ++ passes ++ Seq(terminal)).mkString(", ")
   }
 
   /** Embedding near-duplicate pairs with IVF-CELL blocking — the
@@ -449,7 +496,7 @@ object Similarity {
   def embedNearDupIvf(spark: SparkSession, dir: String,
                       threshold: Double = 0.25): DataFrame = {
     import org.apache.spark.sql.functions.{col, round}
-    val (a1, _) = ivfAssignment(spark, dir)
+    val (a1, _, _) = ivfAssignment(spark, dir)
     a1.as("x").join(a1.as("y"),
         col("x.cent_id") === col("y.cent_id") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
@@ -458,14 +505,15 @@ object Similarity {
   }
 
   def embedNearDupIvfOracle(threshold: Double = 0.25): String =
-    s"""WITH $ivfCteChain
+    s"""WITH ${ivfCteChain()}
        |SELECT x.vec_id AS a_id, y.vec_id AS b_id,
        |  round(${cosSql("x.embedding", "y.embedding")}, 6) AS cosine
        |FROM a1 x JOIN a1 y ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
        |WHERE round(${cosSql("x.embedding", "y.embedding")}, 6) >= $threshold""".stripMargin
 
-  def annIvfOracle(k: Int = 5, nprobe: Int = IvfNProbe): String =
-    s"""WITH $ivfCteChain,
+  def annIvfOracle(k: Int = 5, nprobe: Int = IvfNProbe,
+                   iterations: Int = 1): String =
+    s"""WITH ${ivfCteChain(iterations)},
        |qv AS (
        |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
        |), qtop AS (

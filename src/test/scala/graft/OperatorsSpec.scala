@@ -251,13 +251,19 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkTestBase {
     a shouldBe b
   }
 
-  test("IVF with refinement: nprobe=2 recall beats nprobe=1 (Scaladoc numbers)") {
+  test("IVF with refinement: recall climbs with nprobe (RecallProbe curve points)") {
     val brute = Similarity.annTopK(spark, dir, k = 5)
       .collect().map(_.getLong(0)).toSet
-    def recall(np: Int) = (Similarity.annIvf(spark, dir, k = 5, nprobe = np)
-      .collect().map(_.getLong(0)).toSet & brute).size
+    def recall(np: Int, it: Int = 1) =
+      (Similarity.annIvf(spark, dir, k = 5, nprobe = np, iterations = it)
+        .collect().map(_.getLong(0)).toSet & brute).size
+    // sf0.001 row of the COVERAGE.md recall table (iterations = 1)
     recall(2) shouldBe 3 // the number quoted in annIvf's Scaladoc
     recall(2) should be > recall(1)
+    recall(4) shouldBe 3 // plateau: cells 3..4 hold no extra true neighbors here
+    recall(8) shouldBe 4 // half the codebook probed recovers a 4th
+    // iterations=0 (raw seed centroids) is a valid codebook too
+    recall(2, it = 0) should be >= recall(1, it = 0)
   }
 
   test("langid model: bounded weight table, total coverage, deterministic") {
