@@ -211,6 +211,27 @@ object SparkEntry {
       Verdict(transcripts(s, dir))
         .orderBy(desc("turn_idx"), asc("conv_id")).limit(20)
         .select("conv_id", "turn_idx", "keep")),
+    // O1 completion: reddit's published hot/controversy rank formulas
+    // (rules/Ranking, from the open-sourced _sorts.pyx) over
+    // deterministic per-doc vote tallies — the client-side form of the
+    // hot/controversial sort dispatch the reference delegates to the
+    // API server. Map-side score + one TakeOrderedAndProject.
+    "q_rank_hot" -> ((s, dir) => {
+      val ups = (col("doc_id") * 13 % 201 - 50).cast("int")
+      val downs = (col("doc_id") * 7 % 101).cast("int")
+      operators.Inputs.documents(s, dir)
+        .select(col("doc_id"), ups.as("ups"), downs.as("downs"),
+          rules.Ranking.hotScore(ups, downs, lit(1704067200L) + col("doc_id")).as("hot"))
+        .orderBy(desc("hot"), asc("doc_id")).limit(20)
+    }),
+    "q_rank_controversial" -> ((s, dir) => {
+      val ups = (col("doc_id") * 13 % 201 - 50).cast("int")
+      val downs = (col("doc_id") * 7 % 101).cast("int")
+      operators.Inputs.documents(s, dir)
+        .select(col("doc_id"), ups.as("ups"), downs.as("downs"),
+          rules.Ranking.controversyScore(ups, downs).as("controversy"))
+        .orderBy(desc("controversy"), asc("doc_id")).limit(20)
+    }),
     "q_langid" -> (operators.TextStats.langId _),
     // fastText-shaped hashed char-trigram model: trained in one pass,
     // broadcast weight table, map-side scoring
@@ -283,6 +304,22 @@ object SparkEntry {
     "q_ann_ivf2" -> operators.Similarity.annIvfOracle(iterations = 2),
     "q_recent_turns" -> (Oracle.verdictCte +
       "\nSELECT conv_id, turn_idx, keep FROM verdict ORDER BY turn_idx DESC, conv_id ASC LIMIT 20"),
+    "q_rank_hot" -> s"""WITH votes AS (
+      |  SELECT doc_id, CAST(doc_id * 13 % 201 - 50 AS INT) AS ups,
+      |    CAST(doc_id * 7 % 101 AS INT) AS downs
+      |  FROM documents
+      |)
+      |SELECT doc_id, ups, downs,
+      |  ${rules.Ranking.hotScoreSql("ups", "downs", "1704067200 + doc_id")} AS hot
+      |FROM votes ORDER BY hot DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q_rank_controversial" -> s"""WITH votes AS (
+      |  SELECT doc_id, CAST(doc_id * 13 % 201 - 50 AS INT) AS ups,
+      |    CAST(doc_id * 7 % 101 AS INT) AS downs
+      |  FROM documents
+      |)
+      |SELECT doc_id, ups, downs,
+      |  ${rules.Ranking.controversyScoreSql("ups", "downs")} AS controversy
+      |FROM votes ORDER BY controversy DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q_langid" -> operators.TextStats.langIdOracle,
     "q_langid_model" -> operators.LangIdModel.predictOracle,
     "q_perplexity" -> operators.Perplexity.oracle,

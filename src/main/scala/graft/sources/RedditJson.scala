@@ -88,15 +88,31 @@ object RedditJson {
   }
 
   /** The reference's user-scan variant adds server-side sort/limit
-    * (O1/O2); re-expressed as orderBy + limit over the same rows. */
+    * (O1/O2, api/reddit.py:371-378); re-expressed as orderBy + limit
+    * over the same rows. `new`/`top` order on fields the listing
+    * carries directly; `hot`/`controversial` apply reddit's published
+    * rank formulas ([[graft.rules.Ranking]]) client-side, using the
+    * base-36 id creation ordinal as the hot formula's time input (the
+    * listing projection drops created_utc; the ordinal is monotone in
+    * it, which is all the recency term needs at fixture scale — a
+    * landing zone that retains created_utc passes it instead). Every
+    * branch is a TakeOrderedAndProject: rank-at-scale is one map-side
+    * score + one top-k, no shuffle of the full listing. */
   def parseUser(spark: SparkSession, path: String, sort: String = "new",
                 limit: Int = 100): DataFrame = {
     val rows = parseListing(spark, path)
+    val created = conv(col("id"), 36, 10).cast("long")
     val sorted = sort match {
       case "top" => rows.orderBy(desc("upvotes"), asc("id"))
+      case "hot" => rows.orderBy(
+        graft.rules.Ranking.hotScore(col("upvotes"), col("downvotes"), created).desc,
+        asc("id"))
+      case "controversial" => rows.orderBy(
+        graft.rules.Ranking.controversyScore(col("upvotes"), col("downvotes")).desc,
+        asc("id"))
       // "new": reddit ids are base-36 creation ordinals — compare
       // NUMERICALLY (string desc would misorder ids of unequal length)
-      case _ => rows.orderBy(conv(col("id"), 36, 10).cast("long").desc)
+      case _ => rows.orderBy(created.desc)
     }
     if (limit > 0) sorted.limit(limit) else sorted
   }

@@ -53,6 +53,22 @@ class SourcesSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .head().getAs[String]("id") shouldBe "c10"
   }
 
+  test("O1 hot/controversial dispatch: published _sorts.pyx formulas client-side") {
+    // hot = sign·log10(max(|ups-downs|,1)) + (created-1134028003)/45000.
+    // c1 (net +4, log10(4)=.602) outranks the newer c10/c2 whose ordinal
+    // recency gap (~.03 of a score point) is smaller than its vote order.
+    RedditJson.parseUser(spark, fixture, sort = "hot", limit = 3)
+      .collect().map(_.getAs[String]("id")).toSeq shouldBe Seq("c1", "c10", "c2")
+    // controversy = (ups+downs)^(min/max balance), 0 unless both sides
+    // voted: only c1 (5 up / 1 down) scores; zero ties break by id asc
+    RedditJson.parseUser(spark, fixture, sort = "controversial", limit = 3)
+      .collect().map(_.getAs[String]("id")).toSeq shouldBe Seq("c1", "c10", "c2")
+    import graft.rules.Ranking
+    val c = spark.range(1).select(
+      Ranking.controversyScore(lit(5), lit(1)).as("c")).head().getDouble(0)
+    c shouldBe math.pow(6.0, 0.2) +- 1e-6
+  }
+
   private lazy val treeFixture: String = {
     // comment-tree shape: replies nest listings recursively; one "more"
     // stub (kind=more, skipped), one deleted body (null), depth 3
