@@ -250,7 +250,10 @@ object SparkEntry {
     "q_media_audio_gate" -> (operators.Multimodal.audioGateQuery _),
     // REAL audio decode: in-engine RIFF/WAVE PCM bytes, chunk-walking
     // parser, hex-arithmetic oracle re-parsing the same header fields
-    "q_media_wav" -> (operators.Multimodal.wavQuery _)
+    "q_media_wav" -> (operators.Multimodal.wavQuery _),
+    // REAL image decode: in-engine 24bpp BMP bytes, header parser +
+    // bottom-up padded pixel walk, hex-arithmetic oracle
+    "q_media_bmp" -> (operators.Multimodal.bmpQuery _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -331,6 +334,7 @@ object SparkEntry {
     "q_media_frames" -> operators.Multimodal.framesOracle,
     "q_media_resize" -> operators.Multimodal.resizeOracle,
     "q_media_audio_gate" -> operators.Multimodal.audioGateOracle,
-    "q_media_wav" -> operators.Multimodal.wavOracle
+    "q_media_wav" -> operators.Multimodal.wavOracle,
+    "q_media_bmp" -> operators.Multimodal.bmpOracle
   )
 }

@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
  * `binary` payloads with typed metadata; decode / feature-extraction /
  * resize / frame-sampling run as batched per-partition stages.
  *
- * The IMAGE/VIDEO decode kernels are STUBS — this container has no
- * image/video codecs — marked `stubDecode*` and implemented as
- * deterministic byte-derived fakes. AUDIO decode is REAL: [[WavKernel]]
- * walks RIFF chunks, parses the PCM format header, and computes sample
- * statistics from the raw bytes (header-only formats need no codec),
- * with a hex-arithmetic DuckDB oracle over the same bytes
- * ([[wavOracle]]). Everything around the remaining stubs is real and
- * tested: the schema, the batched iterator shape (the same contract a
+ * AUDIO and IMAGE decode are REAL where the format is pure byte
+ * arithmetic: [[WavKernel]] walks RIFF chunks, parses the PCM format
+ * header, and computes sample statistics from the raw bytes;
+ * [[BmpKernel]] parses the BMP headers and walks the bottom-up padded
+ * 24bpp pixel array — each with a hex-arithmetic DuckDB oracle over the
+ * same bytes ([[wavOracle]]/[[bmpOracle]]). Compressed-codec decode
+ * (JPEG, video containers) remains a STUB — this container has no
+ * codecs — marked `stubDecodeEmbed` and implemented as a deterministic
+ * byte-derived fake. Everything around that stub is real and tested:
+ * the schema, the batched iterator shape (the same contract a
  * Pandas-UDF / `mapInPandas` stage has in PySpark — fixed-size batches
  * in, rows out), the 1→N frame-sampling generator, and the
  * partitioning.
@@ -42,8 +44,9 @@ object Multimodal {
     ).as[Media]
   }
 
-  /** STUB decode+embed kernel (IMAGE/VIDEO only — audio has the real
-    * [[WavKernel]] below): a real implementation would decode the
+  /** STUB decode+embed kernel (compressed codecs only — WAV and BMP
+    * have the real [[WavKernel]]/[[BmpKernel]] below): a real
+    * implementation would decode the
     * payload (JPEG/container) and run a vision encoder; the
     * deterministic fake derives an 8-dim feature vector from payload
     * bytes so the surrounding plumbing is testable end-to-end. */
@@ -323,4 +326,141 @@ object Multimodal {
        |  CAST(round(height * scale) AS INT) AS out_height
        |FROM (SELECT *, least(1.0, 128 / CAST(greatest(width, height) AS DOUBLE)) AS scale
        |      FROM media)""".stripMargin
+
+  // ---- REAL image decode: BMP (BITMAPINFOHEADER, 24bpp BI_RGB) is,
+  // like WAV, pure byte arithmetic — no codec needed. The subtle parts a
+  // fake can't exercise are real here: the BOTTOM-UP row order (file row
+  // 0 is the image's bottom row) and the 4-byte row padding (pad bytes
+  // must be EXCLUDED from every statistic). The table is generated
+  // in-engine as genuine viewable BMP bytes, and the DuckDB twin
+  // re-parses width/height/offset from the hex image and recomputes the
+  // stats pixel-by-pixel — a wrong row stride, an off-by-one in the
+  // padding, or an RGB/BGR mixup all hash-mismatch (top_left pins the
+  // row-order + channel-order decode specifically).
+
+  case class BmpStats(media_id: Long, width: Int, height: Int, n_px: Int,
+                      sum_r: Long, sum_g: Long, sum_b: Long, luma_sum: Long,
+                      mean_luma: Double, top_left: String)
+
+  /** Real BMP parser + pixel statistics over 24bpp BI_RGB payloads:
+    * per-channel integer-exact sums, a 1000×-scaled integer luma sum
+    * (299R+587G+114B — exact, so the oracle matches it bit-for-bit),
+    * and the top-left pixel as rrggbb hex (file stores B,G,R bottom-up;
+    * getting this right requires navigating both). Throws on malformed
+    * input — corrupt media should fail loudly, not score silently. */
+  object BmpKernel {
+    private def u16le(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def u32le(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+    def stats(mediaId: Long, b: Array[Byte]): BmpStats = {
+      require(b.length >= 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte,
+        s"media $mediaId: not a BMP payload")
+      val dataOff = u32le(b, 10).toInt
+      require(u32le(b, 14) == 40L, s"media $mediaId: BITMAPINFOHEADER expected")
+      val w = u32le(b, 18).toInt // positive i32le => bottom-up pixel array
+      val h = u32le(b, 22).toInt
+      require(u16le(b, 26) == 1 && u16le(b, 28) == 24,
+        s"media $mediaId: kernel handles single-plane 24bpp")
+      require(u32le(b, 30) == 0L, s"media $mediaId: BI_RGB (uncompressed) expected")
+      val rowSize = ((w * 3 + 3) / 4) * 4 // rows padded to 4-byte boundaries
+      require(w > 0 && h > 0 && dataOff + rowSize.toLong * h <= b.length,
+        s"media $mediaId: truncated pixel array")
+      var sumR = 0L; var sumG = 0L; var sumB = 0L; var luma = 0L
+      var y = 0
+      while (y < h) { // y walks the IMAGE top-down; the file stores bottom-up
+        val base = dataOff + (h - 1 - y) * rowSize
+        var x = 0
+        while (x < w) {
+          val o = base + x * 3
+          val pb = b(o) & 0xff; val pg = b(o + 1) & 0xff; val pr = b(o + 2) & 0xff
+          sumB += pb; sumG += pg; sumR += pr
+          luma += 299L * pr + 587L * pg + 114L * pb
+          x += 1
+        }
+        y += 1
+      }
+      val tl = dataOff + (h - 1) * rowSize
+      val topLeft = f"${b(tl + 2) & 0xff}%02x${b(tl + 1) & 0xff}%02x${b(tl) & 0xff}%02x"
+      // mean_luma left UNROUNDED; the query rounds via Spark SQL round()
+      BmpStats(mediaId, w, h, w * h, sumR, sumG, sumB, luma,
+        luma.toDouble / (1000.0 * w * h), topLeft)
+    }
+  }
+
+  /** The BMP table's hex image: 14-byte file header + 40-byte
+    * BITMAPINFOHEADER + bottom-up padded 24bpp rows from md5 bytes.
+    * Width/height vary per row so stride and padding are exercised, not
+    * constant-folded (w=4 rows have zero padding, the others 1-3 pad
+    * bytes — both paths covered). `divOp` is the engine's integer-div
+    * spelling (Spark `div`, DuckDB `//`). */
+  private def bmpHexSql(printfFn: String, idExpr: String, md5Cast: String,
+                        divOp: String): String = {
+    val w = s"(2 + $idExpr % 4)"
+    val h = s"(2 + $idExpr % 3)"
+    val rowSize = s"((($w * 3 + 3) $divOp 4) * 4)"
+    val dataLen = s"($rowSize * $h)"
+    s"'424d' || ${leHex(s"(54 + $dataLen)", 4, printfFn)} || '00000000' || '36000000'" + // BM, file size, reserved, data offset 54
+      s" || '28000000' || ${leHex(w, 4, printfFn)} || ${leHex(h, 4, printfFn)}" + // DIB 40, width, height (+ => bottom-up)
+      s" || '0100' || '1800' || '00000000' || ${leHex(dataLen, 4, printfFn)}" + // 1 plane, 24bpp, BI_RGB, image size
+      s" || '130b0000' || '130b0000' || '00000000' || '00000000'" + // 2835 ppm x2, palette 0/0
+      s" || substr(md5(CAST($idExpr AS $md5Cast)) || md5(CAST($idExpr + 31 AS $md5Cast))" +
+      s" || md5(CAST($idExpr + 62 AS $md5Cast)) || md5(CAST($idExpr + 93 AS $md5Cast)), 1, $dataLen * 2)"
+  }
+
+  /** Deterministic BMP media table: genuine viewable bitmap bytes. */
+  def generateBmp(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).selectExpr("id AS media_id",
+      s"unhex(${bmpHexSql("format_string", "id", "STRING", "div")}) AS payload")
+
+  /** Batched REAL image decode over the BMP table (same batch contract
+    * as [[extractFeatures]]). */
+  def bmpQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    generateBmp(spark, GateRows).as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(FeatureBatch).flatMap(
+        _.map { case (id, payload) => BmpKernel.stats(id, payload) }))
+      .toDF()
+      .withColumn("mean_luma", round(col("mean_luma"), 6))
+  }
+
+  /** DuckDB twin: rebuilds the hex image, re-parses data offset, width,
+    * and height out of the header bytes, and walks the pixel array with
+    * the same bottom-up stride arithmetic. */
+  val bmpOracle: String = {
+    def u32le(bytePos: Int) = // 1-based byte position in the hex image
+      s"('0x' || substr(h, ${2 * (bytePos + 3) - 1}, 2) || substr(h, ${2 * (bytePos + 2) - 1}, 2)" +
+        s" || substr(h, ${2 * (bytePos + 1) - 1}, 2) || substr(h, ${2 * bytePos - 1}, 2))::BIGINT"
+    // byte(o): the unsigned byte at 0-based offset o of the binary image
+    val byteAt = "('0x' || substr(h, 2 * CAST(%s AS INT) + 1, 2))::BIGINT"
+    def bAt(o: String) = byteAt.format(o)
+    s"""WITH bmp AS (
+       |  SELECT s AS media_id, ${bmpHexSql("printf", "s", "VARCHAR", "//")} AS h
+       |  FROM generate_series(0, ${GateRows - 1}) AS g(s)
+       |), parsed AS (
+       |  SELECT media_id, h,
+       |    ${u32le(11)} AS data_off, ${u32le(19)} AS w, ${u32le(23)} AS hh
+       |  FROM bmp
+       |), px AS (
+       |  SELECT media_id, h, w, hh,
+       |    flatten(list_transform(generate_series(0, CAST(hh - 1 AS INT)), y ->
+       |      list_transform(generate_series(0, CAST(w - 1 AS INT)), x ->
+       |        data_off + (hh - 1 - y) * (((w * 3 + 3) // 4) * 4) + x * 3))) AS offs,
+       |    data_off + (hh - 1) * (((w * 3 + 3) // 4) * 4) AS tl
+       |  FROM parsed)
+       |SELECT media_id, CAST(w AS INT) AS width, CAST(hh AS INT) AS height,
+       |  CAST(w * hh AS INT) AS n_px,
+       |  CAST(list_sum(list_transform(offs, o -> ${bAt("o + 2")})) AS BIGINT) AS sum_r,
+       |  CAST(list_sum(list_transform(offs, o -> ${bAt("o + 1")})) AS BIGINT) AS sum_g,
+       |  CAST(list_sum(list_transform(offs, o -> ${bAt("o")})) AS BIGINT) AS sum_b,
+       |  CAST(list_sum(list_transform(offs, o ->
+       |    299 * ${bAt("o + 2")} + 587 * ${bAt("o + 1")} + 114 * ${bAt("o")})) AS BIGINT) AS luma_sum,
+       |  round(CAST(list_sum(list_transform(offs, o ->
+       |    299 * ${bAt("o + 2")} + 587 * ${bAt("o + 1")} + 114 * ${bAt("o")})) AS DOUBLE)
+       |    / (1000.0 * w * hh), 6) AS mean_luma,
+       |  printf('%02x%02x%02x', ${bAt("tl + 2")}, ${bAt("tl + 1")}, ${bAt("tl")}) AS top_left
+       |FROM px""".stripMargin
+  }
 }

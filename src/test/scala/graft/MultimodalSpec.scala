@@ -105,4 +105,69 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkTestBase {
       math.max(w, h) should be <= 100
     }
   }
+
+  /** Hand-built 24bpp BMP: `rows` is the IMAGE top-down, each pixel
+    * (r,g,b) — the builder does the bottom-up flip and BGR byte order
+    * the format requires, with non-zero pad bytes (decoders must skip
+    * them; a kernel that sums them is caught). */
+  private def bmpBytes(rows: Seq[Seq[(Int, Int, Int)]]): Array[Byte] = {
+    val h = rows.length
+    val w = rows.head.length
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val px = rows.reverse.flatMap { r => // file stores bottom row first
+      r.flatMap { case (pr, pg, pb) => Seq(pb.toByte, pg.toByte, pr.toByte) } ++
+        Seq.fill(rowSize - w * 3)(0x5a.toByte)
+    }.toArray
+    "BM".getBytes ++ le32(54 + px.length) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(px.length) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++ px
+  }
+
+  test("BMP kernel: known-answer stats pin bottom-up rows, BGR order, pad skipping") {
+    // 2x2 image, distinct channels everywhere; rowSize 8 => 2 pad bytes/row
+    val s = Multimodal.BmpKernel.stats(3L, bmpBytes(Seq(
+      Seq((1, 2, 3), (4, 5, 6)), Seq((7, 8, 9), (10, 11, 12)))))
+    s.width shouldBe 2
+    s.height shouldBe 2
+    s.n_px shouldBe 4
+    s.sum_r shouldBe 22L // 1+4+7+10 — pad bytes (0x5a) excluded
+    s.sum_g shouldBe 26L
+    s.sum_b shouldBe 30L
+    s.luma_sum shouldBe 299L * 22 + 587L * 26 + 114L * 30
+    s.top_left shouldBe "010203" // image top-left = LAST file row, BGR reversed
+  }
+
+  test("BMP kernel: malformed payloads fail loudly") {
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.BmpKernel.stats(9L, Array.fill[Byte](54)(0))
+    val eightBpp = bmpBytes(Seq(Seq((1, 2, 3))))
+    eightBpp(28) = 8 // bpp = 8 (palette form the kernel doesn't handle)
+    an[IllegalArgumentException] should be thrownBy Multimodal.BmpKernel.stats(9L, eightBpp)
+    val rle = bmpBytes(Seq(Seq((1, 2, 3))))
+    rle(30) = 1 // compression = BI_RLE8
+    an[IllegalArgumentException] should be thrownBy Multimodal.BmpKernel.stats(9L, rle)
+  }
+
+  test("generated BMPs are genuine files: the JDK's ImageIO agrees on every row") {
+    import javax.imageio.ImageIO
+    Multimodal.generateBmp(spark, 60L).collect().foreach { row =>
+      val id = row.getLong(0)
+      val bytes = row.getAs[Array[Byte]](1)
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      img should not be null
+      img.getWidth shouldBe (2 + id % 4).toInt
+      img.getHeight shouldBe (2 + id % 3).toInt
+      val s = Multimodal.BmpKernel.stats(id, bytes)
+      s.width shouldBe img.getWidth
+      s.height shouldBe img.getHeight
+      s.top_left shouldBe f"${img.getRGB(0, 0) & 0xffffff}%06x"
+      // channel sums agree with the JDK's full decode
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+      }
+      (s.sum_r, s.sum_g, s.sum_b) shouldBe ((sr, sg, sb))
+    }
+  }
 }
