@@ -69,6 +69,26 @@ class SourcesSpec extends AnyFunSuite with Matchers with SparkTestBase {
     c shouldBe math.pow(6.0, 0.2) +- 1e-6
   }
 
+  test("models-endpoint listing: data[].id extraction + loud empty failure") {
+    import graft.sources.ModelsJson
+    def write(json: String) = {
+      val f = Files.createTempFile("models", ".json")
+      Files.writeString(f, json)
+      f.toString
+    }
+    // one id-less entry dropped, order preserved fields kept
+    val ok = write("""{"object":"list","data":[
+      {"id":"gpt-4o","object":"model"},
+      {"object":"model"},
+      {"id":"llama3:8b","object":"model"}]}""")
+    ModelsJson.parseModels(spark, ok).collect().map(_.getString(0)).sorted shouldBe
+      Array("gpt-4o", "llama3:8b")
+    // reference raises ModelFetchError on an empty/id-less listing
+    val empty = write("""{"object":"list","data":[{"object":"model"}]}""")
+    an[ModelsJson.ModelFetchError] should be thrownBy
+      ModelsJson.parseModels(spark, empty)
+  }
+
   private lazy val treeFixture: String = {
     // comment-tree shape: replies nest listings recursively; one "more"
     // stub (kind=more, skipped), one deleted body (null), depth 3
