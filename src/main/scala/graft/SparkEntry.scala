@@ -239,6 +239,9 @@ object SparkEntry {
     "q_perplexity" -> (operators.Perplexity.score _),
     "q_perplexity_topv" -> ((s, dir) => operators.Perplexity.scoreTopV(s, dir)),
     "q_quality" -> (operators.TextStats.quality _),
+    // Gopher repetition rules (Rae'21 A1.1): top n-gram char fraction
+    // + union-of-spans duplicate 5-gram fraction, published thresholds
+    "q_gopher_quality" -> (operators.GopherQuality.quality _),
     "q_token_count" -> (operators.TextStats.tokenCount _),
     // codegen'd multi-pattern Aho-Corasick keyword scrub
     "q_scrub_keywords" -> (operators.TextStats.scrubKeywords _),
@@ -328,6 +331,7 @@ object SparkEntry {
     "q_perplexity" -> operators.Perplexity.oracle,
     "q_perplexity_topv" -> operators.Perplexity.topVOracle(),
     "q_quality" -> operators.TextStats.qualityOracle,
+    "q_gopher_quality" -> operators.GopherQuality.qualityOracle,
     "q_token_count" -> operators.TextStats.tokenCountOracle,
     "q_scrub_keywords" -> operators.TextStats.scrubKeywordsOracle,
     "q_fingerprint" -> operators.TextStats.fingerprintOracle,

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Gopher-style repetition quality filters (Rae et al. 2021, "Scaling
+ * Language Models: ... Gopher", Appendix A1.1 — published thresholds):
+ * documents dominated by repeated n-grams are low-quality training
+ * text. Two published rule families over the whitespace token stream:
+ *
+ *  - top n-gram character fraction (n = 2, 3, 4): characters covered by
+ *    the single most frequent n-gram / total characters; drop above
+ *    0.20 / 0.18 / 0.16.
+ *  - duplicate n-gram character fraction (n = 5 here): characters
+ *    inside ANY occurrence of a duplicated n-gram, counted ONCE even
+ *    where occurrences overlap (the paper's "taking care not to count
+ *    characters more than once") / total characters; drop above 0.15.
+ *
+ * Distributed shape: posexplode → n-grams via lead() windows keyed by
+ * (doc_id, pos) — per-doc windows are small (documents, not corpora),
+ * so the sort inside each window is bounded; the only corpus-wide
+ * shuffle is the (doc_id, gram) frequency count. The overlap-free span
+ * union is the classic gaps-and-islands pass: running max of span ends
+ * → island ids → one aggregation. Every step is a window or aggregate
+ * that DuckDB runs verbatim, so the whole filter carries an exact SQL
+ * oracle.
+ */
+object GopherQuality {
+
+  /** Published Gopher drop thresholds. */
+  val Top2Max = 0.20
+  val Top3Max = 0.18
+  val Top4Max = 0.16
+  val Dup5Max = 0.15
+
+  /** Tokens with char offsets: (doc_id, pos, tok, char_start). Tokens
+    * are single-space separated in this corpus, so char_start is the
+    * running sum of len+1 — and any n-gram's character span is
+    * [char_start, char_start + len(gram)). */
+  private def toks(docs: DataFrame): DataFrame = {
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), length(col("text")).as("total_chars"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("char_start",
+        coalesce(sum(length(col("tok")) + 1).over(byPos), lit(0L)))
+  }
+
+  /** n-grams with spans: gram text, char_start, char_end. */
+  private def ngrams(t: DataFrame, n: Int): DataFrame = {
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val parts = col("tok") +: (1 until n).map(i => lead("tok", i).over(byPos))
+    t.withColumn("gram", concat_ws(" ", parts: _*))
+      .withColumn("last_tok", lead("tok", n - 1).over(byPos))
+      .filter(col("last_tok").isNotNull) // incomplete tail n-grams
+      .withColumn("char_end", col("char_start") + length(col("gram")))
+      .select("doc_id", "total_chars", "pos", "gram", "char_start", "char_end")
+  }
+
+  /** Characters covered by the most frequent n-gram / total chars
+    * (ties: lexicographically smallest gram, deterministic). */
+  private def topNgramFrac(t: DataFrame, n: Int): DataFrame = {
+    val counted = ngrams(t, n).groupBy("doc_id", "total_chars", "gram")
+      .agg(count(lit(1)).as("cnt"))
+    val rk = Window.partitionBy("doc_id").orderBy(desc("cnt"), asc("gram"))
+    counted.withColumn("rk", row_number().over(rk)).filter(col("rk") === 1)
+      .select(col("doc_id"),
+        round(col("cnt") * length(col("gram")) / col("total_chars").cast("double"), 6)
+          .as(s"top${n}_frac"))
+  }
+
+  /** Union-of-spans character fraction of duplicated n-grams:
+    * mark every occurrence of any gram seen more than once in the doc,
+    * merge overlapping [start, end) spans (gaps-and-islands on the
+    * running max of ends), sum merged lengths / total chars. */
+  private def dupNgramFrac(t: DataFrame, n: Int): DataFrame = {
+    val g = ngrams(t, n)
+    val perGram = Window.partitionBy("doc_id", "gram")
+    val dups = g.withColumn("cnt", count(lit(1)).over(perGram))
+      .filter(col("cnt") > 1)
+    val byStart = Window.partitionBy("doc_id").orderBy("char_start", "pos")
+    val prevEnd = Window.partitionBy("doc_id").orderBy("char_start", "pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val islands = dups
+      .withColumn("new_island",
+        when(col("char_start") > coalesce(max("char_end").over(prevEnd), lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("new_island").over(
+        byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy("doc_id", "total_chars", "island")
+      .agg((max("char_end") - min("char_start")).as("span"))
+      .groupBy("doc_id", "total_chars")
+      .agg(round(sum("span") / col("total_chars").cast("double"), 6).as(s"dup${n}_frac"))
+      .select("doc_id", s"dup${n}_frac")
+  }
+
+  /** The per-doc quality row: all four published metrics + the keep
+    * decision. Docs shorter than an n-gram have no row from that
+    * metric's aggregation → fraction 0 (coalesced). */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Inputs.documents(spark, dir).select("doc_id", "text")
+    val t = toks(docs).localCheckpoint() // shared by all four metric passes
+    val out = docs.select("doc_id")
+      .join(topNgramFrac(t, 2), Seq("doc_id"), "left")
+      .join(topNgramFrac(t, 3), Seq("doc_id"), "left")
+      .join(topNgramFrac(t, 4), Seq("doc_id"), "left")
+      .join(dupNgramFrac(t, 5), Seq("doc_id"), "left")
+      .na.fill(0.0)
+    out.withColumn("gopher_keep",
+      col("top2_frac") <= Top2Max && col("top3_frac") <= Top3Max &&
+        col("top4_frac") <= Top4Max && col("dup5_frac") <= Dup5Max)
+  }
+
+  // ---- DuckDB twin: the same windows/aggregates verbatim.
+
+  private def toksCte: String =
+    """toks AS (
+      |  SELECT doc_id, CAST(len(text) AS INT) AS total_chars,
+      |    CAST(u.pos - 1 AS INT) AS pos, u.tok,
+      |    CAST(coalesce(sum(len(u.tok) + 1) OVER (
+      |      PARTITION BY doc_id ORDER BY u.pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS char_start
+      |  FROM documents,
+      |    LATERAL (SELECT CAST(gs.g AS INT) AS pos, parts[gs.g] AS tok
+      |             FROM (SELECT string_split(text, ' ') AS parts) p,
+      |                  LATERAL unnest(generate_series(1, len(p.parts))) AS gs(g)) u
+      |)""".stripMargin
+
+  private def ngramCte(n: Int): String = {
+    val parts = (1 until n).map(i =>
+      s"lead(tok, $i) OVER (PARTITION BY doc_id ORDER BY pos)").mkString(", ")
+    s"""grams$n AS (
+       |  SELECT doc_id, total_chars, pos, gram,
+       |    char_start, char_start + len(gram) AS char_end
+       |  FROM (
+       |    SELECT doc_id, total_chars, pos, char_start,
+       |      concat_ws(' ', tok, $parts) AS gram,
+       |      lead(tok, ${n - 1}) OVER (PARTITION BY doc_id ORDER BY pos) AS last_tok
+       |    FROM toks)
+       |  WHERE last_tok IS NOT NULL
+       |)""".stripMargin
+  }
+
+  private def topCte(n: Int): String =
+    s"""top$n AS (
+       |  SELECT doc_id, round(cnt * len(gram) / CAST(total_chars AS DOUBLE), 6) AS top${n}_frac
+       |  FROM (
+       |    SELECT doc_id, total_chars, gram, count(*) AS cnt,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) AS rk
+       |    FROM grams$n GROUP BY doc_id, total_chars, gram)
+       |  WHERE rk = 1
+       |)""".stripMargin
+
+  private def dupCte(n: Int): String =
+    s"""dup$n AS (
+       |  SELECT doc_id, round(sum(span) / CAST(any_value(total_chars) AS DOUBLE), 6) AS dup${n}_frac
+       |  FROM (
+       |    SELECT doc_id, total_chars, island,
+       |      max(char_end) - min(char_start) AS span
+       |    FROM (
+       |      SELECT doc_id, total_chars, char_start, char_end,
+       |        sum(new_island) OVER (PARTITION BY doc_id ORDER BY char_start, pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |      FROM (
+       |        SELECT doc_id, total_chars, pos, char_start, char_end,
+       |          CASE WHEN char_start > coalesce(max(char_end) OVER (
+       |            PARTITION BY doc_id ORDER BY char_start, pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_island
+       |        FROM (
+       |          SELECT doc_id, total_chars, pos, char_start, char_end,
+       |            count(*) OVER (PARTITION BY doc_id, gram) AS cnt
+       |          FROM grams$n)
+       |        WHERE cnt > 1))
+       |    GROUP BY doc_id, total_chars, island)
+       |  GROUP BY doc_id
+       |)""".stripMargin
+
+  val qualityOracle: String =
+    s"""WITH $toksCte, ${ngramCte(2)}, ${ngramCte(3)}, ${ngramCte(4)}, ${ngramCte(5)},
+       |${topCte(2)}, ${topCte(3)}, ${topCte(4)}, ${dupCte(5)}
+       |SELECT d.doc_id,
+       |  coalesce(top2_frac, 0.0) AS top2_frac,
+       |  coalesce(top3_frac, 0.0) AS top3_frac,
+       |  coalesce(top4_frac, 0.0) AS top4_frac,
+       |  coalesce(dup5_frac, 0.0) AS dup5_frac,
+       |  (coalesce(top2_frac, 0.0) <= $Top2Max AND coalesce(top3_frac, 0.0) <= $Top3Max AND
+       |   coalesce(top4_frac, 0.0) <= $Top4Max AND coalesce(dup5_frac, 0.0) <= $Dup5Max) AS gopher_keep
+       |FROM documents d
+       |LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
+       |LEFT JOIN top4 USING (doc_id) LEFT JOIN dup5 USING (doc_id)""".stripMargin
+}
