@@ -30,5 +30,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // 24g heap + the throughput collector: measured at local[32] on the 8M
+  // keep-drop gate, the old G1 + 8g default was GC-bound at 32 threads
+  // (allocation rate scales with cores; the collector didn't) — 840k
+  // turns/s and 0.68 scaling efficiency vs 1.02M and 0.86 with these.
+  // On a real cluster this is the executor-sizing exercise: heap per
+  // core large enough that GC never runs concurrently with every core
+  // allocating. Both overridable via env.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+) ++
+  sys.env.getOrElse("SPARK_JVM_OPTS", "-XX:+UseParallelGC").trim
+    .split("\\s+").toSeq.filter(_.nonEmpty)

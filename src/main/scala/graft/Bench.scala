@@ -59,13 +59,32 @@ object Bench {
     val nTurns = sys.env.getOrElse("SPARK_GRAFT_TURNS", "4000000").toLong
     val warmupPasses = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "2").toInt
     val timedPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "5").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the master URL; the scaling-evidence
+    // runs use local-cluster[N,8,16384] — REAL separate executor JVMs
+    // (own heap, own GC, driver only coordinating), the honest
+    // single-box analogue of "N executors vs 4N executors" in the north
+    // rule. local[N] shares one heap across all N threads, which
+    // understates executor scaling (measured: ~0.72-0.75 at 8→32
+    // threads from allocator/heap sharing alone; see BENCH/BASELINE.md).
+    // SPARK_GRAFT_CPUS stays the TOTAL core count for partitioning.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      // executors are separate processes: they need our classes on their
+      // classpath and the same throughput-GC settings the driver runs
+      val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+      builder
+        .config("spark.executor.extraClassPath", classes)
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "12g"))
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def force(df: DataFrame): Unit =
@@ -94,12 +113,49 @@ object Bench {
     // fixed protocol instead: `warmupPasses` UNTIMED full-corpus passes,
     // then best-of-`timedPasses`, with EVERY pass time emitted in the
     // JSON so a reader can see the plateau themselves.
-    def measured(f: => Unit): (Double, Seq[Double]) = {
-      val all = (0 until (warmupPasses + timedPasses)).map(_ => timed(f))
-      (all.drop(warmupPasses).min, all)
+    def measured(f: => Unit, warm: Int, n: Int): (Double, Seq[Double]) = {
+      val all = (0 until (warm + n)).map(_ => timed(f))
+      (all.drop(warm).min, all)
     }
-    val (tFused, passesFused) = measured(force(Verdict(turns, fused = true)))
-    val (tChain, passesChain) = measured(force(Verdict(turns, fused = false)))
+    // the chain scanner is the semantic-baseline comparison, not the
+    // headline the scaling rule grades — its pass count is separately
+    // tunable so long scaling runs can spend their passes on the gate
+    val chainWarmup = sys.env.getOrElse("SPARK_GRAFT_CHAIN_WARMUP", warmupPasses.toString).toInt
+    val chainPasses = sys.env.getOrElse("SPARK_GRAFT_CHAIN_PASSES", timedPasses.toString).toInt
+    // /proc/stat jiffies (allCpu: user nice system idle iowait irq
+    // softirq steal ...) sampled around EACH gate pass: on this
+    // virtualized box the hypervisor STEALS a large CPU share at full
+    // 32-core load and ~none at 8-core load, which caps apparent N→4N
+    // scaling regardless of the code. steal_pct reports the steal DURING
+    // THE BEST FUSED PASS — the exact region turns_per_sec comes from —
+    // and steal_passes carries the whole per-pass series, so each
+    // artifact documents its own entitlement context (BENCH/BASELINE.md).
+    def cpuSample(): Option[Array[Long]] = try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      Some(line.trim.split("\\s+").drop(1).map(_.toLong))
+    } catch { case _: Throwable => None }
+    def measuredSteal(f: => Unit, warm: Int, n: Int): (Double, Seq[Double], Seq[Double], Int) = {
+      val all = (0 until (warm + n)).map { _ =>
+        val c0 = cpuSample(); val t = timed(f); val c1 = cpuSample()
+        val steal = (c0, c1) match {
+          case (Some(a), Some(b)) if b.sum > a.sum =>
+            100.0 * (b(7) - a(7)) / (b.sum - a.sum).toDouble
+          case _ => -1.0
+        }
+        (t, steal)
+      }
+      val times = all.map(_._1)
+      val bestIdx = times.drop(warm).zipWithIndex.minBy(_._1)._2 + warm
+      (times(bestIdx), times, all.map(_._2), bestIdx)
+    }
+    val (tFused, passesFused, stealsFused, bestFused) =
+      measuredSteal(force(Verdict(turns, fused = true)), warmupPasses, timedPasses)
+    val stealHead =
+      if (stealsFused(bestFused) >= 0)
+        Seq("steal_pct" -> f"${stealsFused(bestFused)}%.1f")
+      else Seq.empty
+    val (tChain, passesChain) =
+      measured(force(Verdict(turns, fused = false)), chainWarmup, chainPasses)
     val tps = nTurns / tFused
     val tpsChain = nTurns / tChain
 
@@ -189,15 +245,17 @@ object Bench {
       "unit" -> "\"sec\"",
       "sf" -> ("\"" + sfDir + "\""),
       "cpus" -> cpus,
+      "master" -> ("\"" + master + "\""),
       "turns" -> nTurns.toString,
       "keepdrop_sec_fused" -> f"$tFused%.4f",
       "keepdrop_sec_chain" -> f"$tChain%.4f",
       "turns_per_sec" -> f"$tps%.1f",
       "turns_per_sec_chain" -> f"$tpsChain%.1f",
       "warmup_passes" -> warmupPasses.toString,
-      "timed_passes" -> timedPasses.toString) ++ skewHead
+      "timed_passes" -> timedPasses.toString) ++ stealHead ++ skewHead
     val tail = Seq(
       "passes_fused" -> jarr(passesFused),
+      "steal_passes" -> stealsFused.map(x => f"$x%.1f").mkString("[", ",", "]"),
       "passes_chain" -> jarr(passesChain))
     val line = renderLine(head, errors.toSeq, results, tail)
     println(line)
