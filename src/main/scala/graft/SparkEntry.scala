@@ -241,7 +241,7 @@ object SparkEntry {
     "q_quality" -> (operators.TextStats.quality _),
     // Gopher repetition rules (Rae'21 A1.1): top n-gram char fraction
     // + union-of-spans duplicate 5-gram fraction, published thresholds
-    "q_gopher_quality" -> (operators.GopherQuality.quality _),
+    "q_gopher_quality" -> ((s, dir) => operators.GopherQuality.quality(s, dir)),
     "q_token_count" -> (operators.TextStats.tokenCount _),
     // codegen'd multi-pattern Aho-Corasick keyword scrub
     "q_scrub_keywords" -> (operators.TextStats.scrubKeywords _),

@@ -98,10 +98,22 @@ object GopherQuality {
 
   /** The per-doc quality row: all four published metrics + the keep
     * decision. Docs shorter than an n-gram have no row from that
-    * metric's aggregation → fraction 0 (coalesced). */
-  def quality(spark: SparkSession, dir: String): DataFrame = {
+    * metric's aggregation → fraction 0 (coalesced).
+    *
+    * `materializeTokens` controls the classic recompute-vs-materialize
+    * trade on the shared exploded token stream (it feeds all four
+    * metric passes): true localCheckpoints it — measured ~2x faster at
+    * sf0.1 (1.6-2.0 s vs 2.8-4.1 s warm, QueryProbe) but materializes
+    * corpus × explode-factor rows, which is infeasible at 100 TB; the
+    * default false recomputes the map-side scan+explode per metric and
+    * streams — the shape that survives scale (same call every iterative
+    * operator here makes: LangIdModel deliberately recomputes its
+    * featurization for the same reason). */
+  def quality(spark: SparkSession, dir: String,
+              materializeTokens: Boolean = false): DataFrame = {
     val docs = Inputs.documents(spark, dir).select("doc_id", "text")
-    val t = toks(docs).localCheckpoint() // shared by all four metric passes
+    val t0 = toks(docs)
+    val t = if (materializeTokens) t0.localCheckpoint() else t0
     val out = docs.select("doc_id")
       .join(topNgramFrac(t, 2), Seq("doc_id"), "left")
       .join(topNgramFrac(t, 3), Seq("doc_id"), "left")

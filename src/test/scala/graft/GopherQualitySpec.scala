@@ -37,6 +37,13 @@ class GopherQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     rows(3L).getAs[Double]("dup5_frac") shouldBe 0.0
   }
 
+  test("materialized-tokens variant is result-identical to the streaming default") {
+    val a = GopherQuality.quality(spark, dir).collect().sortBy(_.getLong(0)).map(_.toString)
+    val b = GopherQuality.quality(spark, dir, materializeTokens = true)
+      .collect().sortBy(_.getLong(0)).map(_.toString)
+    a shouldBe b
+  }
+
   test("top-n fractions and the published-threshold keep decision") {
     val rows = GopherQuality.quality(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap

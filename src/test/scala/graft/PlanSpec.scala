@@ -84,6 +84,17 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should include("TakeOrderedAndProject")
   }
 
+  test("hot/controversial ranking is a map-side score + top-k, no full sort") {
+    for (q <- Seq("q_rank_hot", "q_rank_controversial")) {
+      val plan = executed(SparkEntry.queries(q)(spark, dir))
+      plan should include("TakeOrderedAndProject") // k rows per partition cross
+      // no global sort: the only exchange allowed is Inputs.spread's
+      // round-robin split fix for the single-row-group test parquet
+      plan should not include "RangePartitioning"
+      plan should not include "hashpartitioning"
+    }
+  }
+
   test("per-conversation rollup shuffles once on the group key") {
     val r = Verdict(Transcripts.fromDocuments(spark, dir))
       .groupBy("conv_id").agg(count(lit(1)))
