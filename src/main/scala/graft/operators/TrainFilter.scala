@@ -6,14 +6,15 @@ import org.apache.spark.sql.functions._
 /**
  * The composed corpus-curation decision — what a training-data pipeline
  * actually materializes per document: quality gate × language gate ×
- * dedup keep-list joined into one `train_keep` flag with the reasons
- * alongside. Each leg is an already-oracle-proven operator
- * ([[TextStats.quality]], [[LangIdModel.predict]], [[Dedup.keepList]]);
- * this query proves they COMPOSE — the DuckDB twin nests each leg's full
- * SQL (including the keep-list's recursive CTE) and must still
- * hash-match.
+ * Gopher repetition gate × dedup keep-list joined into one `train_keep`
+ * flag with the reasons alongside. Each leg is an already-oracle-proven
+ * operator ([[TextStats.quality]], [[LangIdModel.predict]],
+ * [[GopherQuality.quality]], [[Dedup.keepList]]); this query proves
+ * they COMPOSE — the DuckDB twin nests each leg's full SQL (including
+ * the keep-list's recursive CTE and the Gopher window chain) and must
+ * still hash-match.
  *
- * Scale shape: three doc_id-keyed equi-joins of corpus-sized frames —
+ * Scale shape: four doc_id-keyed equi-joins of corpus-sized frames —
  * at production scale these co-partition on doc_id (one shuffle each,
  * or zero with bucketed tables); no leg introduces anything beyond its
  * own audited plan.
@@ -22,11 +23,12 @@ object TrainFilter {
 
   val KeepLang = "en"
 
-  private def compose(q: DataFrame, l: DataFrame, k: DataFrame): DataFrame =
-    q.join(l, "doc_id").join(k, "doc_id")
+  private def compose(q: DataFrame, l: DataFrame, k: DataFrame,
+                      g: DataFrame): DataFrame =
+    q.join(l, "doc_id").join(k, "doc_id").join(g, "doc_id")
       .selectExpr("doc_id",
-        s"pass AND lang_pred = '$KeepLang' AND dedup_keep AS train_keep",
-        "quality_score", "lang_pred", "reason")
+        s"pass AND lang_pred = '$KeepLang' AND dedup_keep AND gopher_keep AS train_keep",
+        "quality_score", "lang_pred", "gopher_keep", "reason")
 
   /** Composition PROOF shape: one declarative query re-deriving every
     * leg from the raw corpus, with an exact nested SQL twin. Use this
@@ -39,7 +41,8 @@ object TrainFilter {
     val l = LangIdModel.predict(spark, dir).select("doc_id", "lang_pred")
     val k = Dedup.keepList(spark, dir)
       .select(col("doc_id"), col("keep").as("dedup_keep"), col("reason"))
-    compose(q, l, k)
+    val g = GopherQuality.quality(spark, dir).select("doc_id", "gopher_keep")
+    compose(q, l, k, g)
   }
 
   /** Production shape: each leg is computed ONCE, written to a staging
@@ -62,10 +65,12 @@ object TrainFilter {
     val l = stage("langid", LangIdModel.predict(spark, dir).select("doc_id", "lang_pred"))
     val k = stage("keeplist", Dedup.keepList(spark, dir)
       .select(col("doc_id"), col("keep").as("dedup_keep"), col("reason")))
-    compose(q, l, k)
+    val g = stage("gopher",
+      GopherQuality.quality(spark, dir).select("doc_id", "gopher_keep"))
+    compose(q, l, k, g)
   }
 
-  /** The three legs' oracles nested as CTE bodies + the same joins. */
+  /** The four legs' oracles nested as CTE bodies + the same joins. */
   def trainFilterOracle: String =
     s"""WITH q AS (
        |${TextStats.qualityOracle}
@@ -73,11 +78,14 @@ object TrainFilter {
        |${LangIdModel.predictOracle}
        |), k AS (
        |${Dedup.keepListOracle()}
+       |), g AS (
+       |${GopherQuality.qualityOracle}
        |)
        |SELECT q.doc_id,
-       |  (q.pass AND l.lang_pred = '$KeepLang' AND k.keep) AS train_keep,
-       |  q.quality_score, l.lang_pred, k.reason
+       |  (q.pass AND l.lang_pred = '$KeepLang' AND k.keep AND g.gopher_keep) AS train_keep,
+       |  q.quality_score, l.lang_pred, g.gopher_keep, k.reason
        |FROM q
        |JOIN l ON l.doc_id = q.doc_id
-       |JOIN k ON k.doc_id = q.doc_id""".stripMargin
+       |JOIN k ON k.doc_id = q.doc_id
+       |JOIN g ON g.doc_id = q.doc_id""".stripMargin
 }
