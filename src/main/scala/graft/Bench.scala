@@ -15,14 +15,23 @@ import graft.sources.Transcripts
  * Both scanner paths are measured: the built-in column chain and the
  * fused single-pass expression.
  *
- * Line format contract (BenchFormatSpec): headline fields FIRST
- * (metric/value/unit, sf, gate seconds, throughputs, skew evidence,
- * errors), THEN the per-query map with seconds rounded to 4 dp, THEN
- * the warmup pass arrays — and the whole line stays under 4 KB at 70
- * queries. Round 3's line carried 17-digit doubles and outgrew the
- * driver's stdout capture window → `BENCH_r03.json "parsed": null`;
- * the rounding + ordering here make a tail-truncated capture still
- * carry every headline number.
+ * Line format contract (BenchFormatSpec): ONE run renders TWO
+ * artifacts. (1) The stdout line is COMPACT — errors, then the
+ * per-query map at 2 dp, then the headline fields LAST — and stays
+ * under 1,800 bytes at 80 queries. The driver's stdout capture window
+ * is measured at 2,000 chars and keeps the TAIL of the stream (r4's
+ * 2,225-byte headline-first line lost its front brace AND its
+ * headline fields to exactly that truncation → `"parsed": null`
+ * three rounds running); a sub-window line parses whole, and
+ * headline-last means even a re-truncated capture still ends with
+ * the numbers that matter. (2) The file artifact
+ * (SPARK_GRAFT_BENCH_OUT, default BENCH/last_bench.json) carries
+ * FULL fidelity from the same run: every head field, 4-dp query
+ * seconds, per-query steal, and the per-pass time/steal arrays —
+ * this is what tools/gen_bench_doc.py and the committed
+ * BENCH/bench_*.json records are generated from, so the driver
+ * artifact and the committed artifacts can never tell different
+ * stories about one run.
  *
  * Env knobs: SPARK_GRAFT_SF_DIR (queries input), SPARK_GRAFT_CPUS
  * (local[N] + shuffle partitions), SPARK_GRAFT_TURNS (corpus size,
@@ -33,20 +42,59 @@ import graft.sources.Transcripts
  */
 object Bench {
 
-  /** Assembles the single bench JSON line: `head` fields (pre-rendered
-    * JSON values) first, then errors, then per-query seconds rounded to
-    * 4 dp, then `tail` (pass arrays). Pure so BenchFormatSpec can assert
-    * the length budget and field order without running a benchmark. */
-  def renderLine(head: Seq[(String, String)], errors: Seq[(String, String)],
-                 queries: Seq[(String, Double)], tail: Seq[(String, String)]): String = {
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  /** JSON string literal with escaping — ALL free-text values (error
+    * messages, paths, master URLs) must route through this; r4 advice:
+    * an sf path containing a quote would have produced invalid JSON. */
+  def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** Assembles one bench JSON line: `before` fields (pre-rendered JSON
+    * values), then errors, then per-query seconds at `dp` decimals,
+    * then `after` fields. The compact stdout line passes
+    * before=empty, dp=2, and the headline as `after` (tail-biased
+    * capture); the full file artifact passes dp=4 with pass arrays in
+    * `after`. Pure so BenchFormatSpec can assert the length budget and
+    * field order without running a benchmark. */
+  def renderLine(before: Seq[(String, String)], errors: Seq[(String, String)],
+                 queries: Seq[(String, Double)], after: Seq[(String, String)],
+                 dp: Int = 4): String = {
     val qs = queries.map { case (k, v) =>
-      jstr(k) + ":" + (if (v < 0) "-1" else f"$v%.4f")
+      jstr(k) + ":" + (if (v < 0) "-1" else s"%.${dp}f".format(v))
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val headStr = head.map { case (k, v) => jstr(k) + ":" + v }.mkString(",")
-    val tailStr = tail.map { case (k, v) => jstr(k) + ":" + v }.mkString(",")
-    s"""{$headStr,"errors":$errJson,"queries":$qs,$tailStr}"""
+    val parts =
+      before.map { case (k, v) => jstr(k) + ":" + v } ++
+      Seq("\"errors\":" + errJson, "\"queries\":" + qs) ++
+      after.map { case (k, v) => jstr(k) + ":" + v }
+    parts.mkString("{", ",", "}")
+  }
+
+  /** The stdout line with a HARD length guarantee: starts at 2-dp query
+    * seconds and degrades precision (2 → 1 → 0 dp) until the line fits
+    * `budget` bytes — so growth in the query count can never push the
+    * line back over the driver's 2,000-char capture window again. The
+    * 4-dp numbers of record always live in the file artifact. */
+  val CompactBudget = 1800
+  def compactLine(errors: Seq[(String, String)], queries: Seq[(String, Double)],
+                  headline: Seq[(String, String)]): String = {
+    var dp = 2
+    def render(qs: Seq[(String, Double)], extra: Seq[(String, String)]) =
+      renderLine(Seq.empty, errors, qs, extra ++ headline, dp)
+    var line = render(queries, Seq.empty)
+    while (line.length >= CompactBudget && dp > 0) {
+      dp -= 1
+      line = render(queries, Seq.empty)
+    }
+    // last-resort floor: drop query entries from the (alphabetical) end,
+    // announcing the count — the full map is always in the file artifact,
+    // and a short parseable line beats a complete truncated one
+    var keep = queries.size
+    while (line.length >= CompactBudget && keep > 0) {
+      keep -= 8
+      line = render(queries.take(math.max(keep, 0)),
+        Seq("queries_dropped" -> (queries.size - math.max(keep, 0)).toString))
+    }
+    line
   }
 
   def main(args: Array[String]): Unit = {
@@ -134,15 +182,18 @@ object Bench {
       val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
       Some(line.trim.split("\\s+").drop(1).map(_.toLong))
     } catch { case _: Throwable => None }
+    // length-guarded: a cpu line with < 8 fields (no steal column)
+    // degrades to -1 instead of throwing past cpuSample's try
+    def stealPct(c0: Option[Array[Long]], c1: Option[Array[Long]]): Double =
+      (c0, c1) match {
+        case (Some(a), Some(b)) if a.length > 7 && b.length > 7 && b.sum > a.sum =>
+          100.0 * (b(7) - a(7)) / (b.sum - a.sum).toDouble
+        case _ => -1.0
+      }
     def measuredSteal(f: => Unit, warm: Int, n: Int): (Double, Seq[Double], Seq[Double], Int) = {
       val all = (0 until (warm + n)).map { _ =>
         val c0 = cpuSample(); val t = timed(f); val c1 = cpuSample()
-        val steal = (c0, c1) match {
-          case (Some(a), Some(b)) if b.sum > a.sum =>
-            100.0 * (b(7) - a(7)) / (b.sum - a.sum).toDouble
-          case _ => -1.0
-        }
-        (t, steal)
+        (t, stealPct(c0, c1))
       }
       val times = all.map(_._1)
       val bestIdx = times.drop(warm).zipWithIndex.minBy(_._1)._2 + warm
@@ -225,48 +276,86 @@ object Bench {
     val querySet =
       if (skipQueries) Map.empty[String, (SparkSession, String) => DataFrame]
       else SparkEntry.queries
-    val results = querySet.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = try timed(force(fn(spark, sfDir))) catch {
+    // Steal-gated best-of-2 per query: the r4 driver artifact captured a
+    // sweep whose per-query numbers diverged up to 8x from a clean
+    // same-day run because episodic hypervisor steal landed mid-sweep —
+    // poisoning cross-round comparison. Each query's first pass is
+    // bracketed by /proc/stat samples; when measured steal exceeds the
+    // gate (0.5%, SPARK_GRAFT_STEAL_GATE) the query is re-run once and
+    // the minimum kept, so a contaminated pass can't become the number
+    // of record while a clean sweep stays single-shot. Per-query steal
+    // of the KEPT pass goes to the file artifact (queries_steal).
+    val stealGate = sys.env.getOrElse("SPARK_GRAFT_STEAL_GATE", "0.5").toDouble
+    val swept = querySet.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try {
+        val c0 = cpuSample(); val t1 = timed(force(fn(spark, sfDir))); val c1 = cpuSample()
+        val s1 = stealPct(c0, c1)
+        if (s1 >= stealGate) {
+          val t2 = timed(force(fn(spark, sfDir))); val c2 = cpuSample()
+          val s2 = stealPct(c1, c2)
+          if (t2 < t1) (name, t2, s2, true) else (name, t1, s1, true)
+        } else (name, t1, s1, false)
+      } catch {
         case e: Throwable =>
           // a crashed query must be VISIBLE, never silently absent from the
           // headline: log it and carry an explicit errors field in the JSON
           System.err.println(s"[bench] $name FAILED: $e")
           e.printStackTrace()
           errors(name) = e.toString.take(200)
-          -1.0
+          (name, -1.0, -1.0, false)
       }
-      name -> sec
     }
+    val results = swept.map(q => q._1 -> q._2)
+    val reran = swept.filter(_._4).map(_._1)
     val total = results.map(_._2).filter(_ >= 0).sum + tFused
     def jarr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-    val head = Seq(
+    // COMPACT stdout line: errors + 2-dp queries + headline LAST, under
+    // the driver's 2,000-char tail-biased capture (budget < 1,800 at 80
+    // queries, BenchFormatSpec). Full-fidelity fields live in the file.
+    val headline = Seq(
       "metric" -> "\"total\"",
       "value" -> f"$total%.4f",
       "unit" -> "\"sec\"",
-      "sf" -> ("\"" + sfDir + "\""),
+      "sf" -> jstr(sfDir),
       "cpus" -> cpus,
-      "master" -> ("\"" + master + "\""),
+      "turns" -> nTurns.toString,
+      "turns_per_sec" -> f"$tps%.1f",
+      "turns_per_sec_chain" -> f"$tpsChain%.1f") ++ stealHead
+    val line = compactLine(errors.toSeq, results, headline)
+    println(line)
+    // FULL file artifact from the SAME run: every head field, 4-dp query
+    // seconds, per-query steal, pass arrays. tools/gen_bench_doc.py and
+    // the committed BENCH/bench_*.json records read this shape. (sbt
+    // decorates forked stdout with "[info] ", which broke the driver's
+    // machine parse in round 1 → the file is also the judge-readable copy.)
+    val fullHead = Seq(
+      "metric" -> "\"total\"",
+      "value" -> f"$total%.4f",
+      "unit" -> "\"sec\"",
+      "sf" -> jstr(sfDir),
+      "cpus" -> cpus,
+      "master" -> jstr(master),
       "turns" -> nTurns.toString,
       "keepdrop_sec_fused" -> f"$tFused%.4f",
       "keepdrop_sec_chain" -> f"$tChain%.4f",
       "turns_per_sec" -> f"$tps%.1f",
       "turns_per_sec_chain" -> f"$tpsChain%.1f",
       "warmup_passes" -> warmupPasses.toString,
-      "timed_passes" -> timedPasses.toString) ++ stealHead ++ skewHead
-    val tail = Seq(
+      "timed_passes" -> timedPasses.toString,
+      "steal_gate_pct" -> f"$stealGate%.1f") ++ stealHead ++ skewHead
+    val fullTail = Seq(
+      "queries_steal" -> swept.map(q => jstr(q._1) + ":" + f"${q._3}%.1f")
+        .mkString("{", ",", "}"),
+      "queries_rerun" -> reran.map(jstr).mkString("[", ",", "]"),
       "passes_fused" -> jarr(passesFused),
       "steal_passes" -> stealsFused.map(x => f"$x%.1f").mkString("[", ",", "]"),
       "passes_chain" -> jarr(passesChain))
-    val line = renderLine(head, errors.toSeq, results, tail)
-    println(line)
-    // sbt decorates forked stdout with "[info] ", which broke the driver's
-    // machine parse in round 1 (BENCH_r01 "parsed": null) → also write the
-    // bare line to a file the driver/judge can read directly.
+    val fullLine = renderLine(fullHead, errors.toSeq, results, fullTail, dp = 4)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH/last_bench.json")
     try {
       val p = java.nio.file.Paths.get(outFile)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.writeString(p, line + "\n")
+      java.nio.file.Files.writeString(p, fullLine + "\n")
     } catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")

@@ -184,10 +184,14 @@ object SparkEntry {
     "q_dedup_keeplist" -> (operators.Dedup.keepList _),
     // quality x language x dedup composed into the per-doc curation flag
     "q_train_filter" -> (operators.TrainFilter.trainFilter _),
-    // production shape: legs staged to parquet once, then joined
+    // production shape: legs staged to parquet once, then joined. The
+    // stage dir carries a per-invocation nonce so concurrent runs over
+    // the same sf (Verify + Bench, or a bench re-pass) can never clobber
+    // each other's staging writes (r4 verdict nit #3)
     "q_train_filter_staged" -> ((s, dir) =>
       operators.TrainFilter.trainFilterStaged(s, dir,
-        s"${sys.props("java.io.tmpdir")}/graft_stage_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")),
+        s"${sys.props("java.io.tmpdir")}/graft_stage_${dir.replaceAll("[^A-Za-z0-9.]", "_")}" +
+          s"_${java.util.UUID.randomUUID().toString.take(8)}")),
     "q_sample_stratified" -> (operators.TextStats.sampleStratified _),
     "q_jaccard_adjacent" -> (operators.Dedup.jaccardAdjacent _),
     "q_simhash" -> (operators.Dedup.simhash _),

@@ -36,7 +36,9 @@ object ModelsJson {
     val rows = raw
       .select(explode(col("data")).as("m"))
       .select(col("m.id").as("id"))
-      .filter(col("id").isNotNull) // [m.get("id") ... if m.get("id")]
+      // [m.get("id") ... if m.get("id")] — Python truthiness drops BOTH
+      // missing and empty-string ids, so "" must not count as a model
+      .filter(col("id").isNotNull && col("id") =!= "")
     if (rows.isEmpty)
       throw new ModelFetchError("No available models found in the API response.")
     rows

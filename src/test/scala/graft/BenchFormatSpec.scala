@@ -5,55 +5,87 @@ import org.scalatest.matchers.should.Matchers
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-/** The bench JSON line is the driver's machine-parsed artifact; round 3
-  * lost `parsed` because 59 queries at 17-digit precision outgrew the
-  * driver's stdout capture window. Pin the format contract: headline
-  * fields before the per-query map, 4-dp query seconds, pass arrays
-  * last, and the whole line under 4 KB at 70 queries. */
+/** The bench stdout line is the driver's machine-parsed artifact. The
+  * driver's capture window is MEASURED at 2,000 chars and keeps the
+  * TAIL of the stream: round 3 lost `parsed` to 17-digit doubles,
+  * round 4 to a 2,225-byte line budgeted against a wrong 4 KB
+  * constant — the front brace and the headline-first fields were
+  * exactly what truncation removed. Pin the round-5 contract: the
+  * stdout line is COMPACT (errors, 2-dp query map, headline fields
+  * LAST) and stays under 1,800 bytes at 80 queries; the full-fidelity
+  * fields (master, pass arrays, per-query steal, 4-dp seconds) belong
+  * to the file artifact rendered from the same run. */
 class BenchFormatSpec extends AnyFunSuite with Matchers {
 
-  private def fakeLine(nQueries: Int): String = {
-    val head = Seq(
-      "metric" -> "\"total\"", "value" -> "123.4567", "unit" -> "\"sec\"",
-      "sf" -> "\"/root/testdata/sf0.1\"", "cpus" -> "32", "turns" -> "4000000",
-      "keepdrop_sec_fused" -> "3.8512", "keepdrop_sec_chain" -> "8.1934",
-      "turns_per_sec" -> "1039162.4", "turns_per_sec_chain" -> "488669.1",
-      "warmup_passes" -> "2", "timed_passes" -> "5",
-      "skew_turns" -> "8000000",
-      "skew_direct_sec" -> "12.3456", "skew_salted_sec" -> "4.5678",
-      "skew_rollup_direct_sec" -> "1.2345", "skew_rollup_salted_sec" -> "1.3456")
-    // worst-case-ish names: 22 chars, full double values pre-rounding
-    val queries = (0 until nQueries).map(i => (f"q_some_long_name_$i%04d", 123.45678901234567))
-    val errors = Seq("q_failed_example" -> "java.lang.RuntimeException: boom")
-    val tail = Seq(
-      "passes_fused" -> "[40.629,69.920,3.981,3.851,4.102,4.140,3.972]",
-      "passes_chain" -> "[41.001,70.123,8.301,8.193,8.400,8.299,8.350]")
-    Bench.renderLine(head, errors, queries, tail)
+  // realistic-worst names: 15 chars (real sweep avg 13.5, max 21), a
+  // long tail of >100-second values pre-rounding
+  private def fakeQueries(n: Int): Seq[(String, Double)] =
+    (0 until n).map(i =>
+      (f"q_realish_$i%04d", if (i % 10 == 0) 123.45678901234567 else 3.45678901))
+
+  private val fakeHeadline = Seq(
+    "metric" -> "\"total\"", "value" -> "123.4567", "unit" -> "\"sec\"",
+    "sf" -> Bench.jstr("/root/testdata/sf0.1"), "cpus" -> "32",
+    "turns" -> "4000000",
+    "turns_per_sec" -> "1039162.4", "turns_per_sec_chain" -> "488669.1",
+    "steal_pct" -> "0.3")
+
+  private def compactLine(nQueries: Int): String =
+    Bench.compactLine(
+      Seq("q_failed_example" -> "java.lang.RuntimeException: boom"),
+      fakeQueries(nQueries), fakeHeadline)
+
+  test("compact stdout line stays under 1,800 bytes at 80 queries (2,000-char driver window)") {
+    compactLine(80).length should be < 1800
+    // the adaptive floor (degrade dp, then drop announced entries) keeps
+    // even a 150-query sweep under budget AND valid JSON
+    val big = compactLine(150)
+    big.length should be < 1800
+    val json = JsonMethods.parse(big)
+    (json \ "turns_per_sec") shouldBe JDouble(1039162.4)
   }
 
-  test("line stays under the 4 KB driver capture budget at 70 queries") {
-    fakeLine(70).length should be < 4096
-  }
-
-  test("line is valid JSON with 4-dp query values and -1 for errors") {
+  test("compact line is valid JSON with 2-dp query values and -1 for errors") {
     val line = Bench.renderLine(
-      Seq("metric" -> "\"total\"", "value" -> "1.2345", "unit" -> "\"sec\""),
+      Seq.empty,
       Seq("q_bad" -> "boom \"quoted\" \\ slash"),
       Seq("q_ok" -> 1.23456789, "q_bad" -> -1.0),
-      Seq("passes_fused" -> "[1.000]"))
+      fakeHeadline, dp = 2)
     val json = JsonMethods.parse(line)
-    (json \ "queries" \ "q_ok") shouldBe JDouble(1.2346)
+    (json \ "queries" \ "q_ok") shouldBe JDouble(1.23)
     (json \ "queries" \ "q_bad") shouldBe JInt(-1)
     (json \ "errors" \ "q_bad") shouldBe JString("boom \"quoted\" \\ slash")
+    (json \ "turns_per_sec") shouldBe JDouble(1039162.4)
   }
 
-  test("headline fields (incl. errors) appear BEFORE the queries map, pass arrays after") {
-    val line = fakeLine(70)
+  test("compact line: headline fields (metric/value/tps/skew) come AFTER the queries map") {
+    val line = compactLine(80)
     val iQueries = line.indexOf("\"queries\":")
-    line.indexOf("\"turns_per_sec\":") should (be >= 0 and be < iQueries)
-    line.indexOf("\"keepdrop_sec_fused\":") should (be >= 0 and be < iQueries)
-    line.indexOf("\"skew_salted_sec\":") should (be >= 0 and be < iQueries)
+    iQueries should be >= 0
     line.indexOf("\"errors\":") should (be >= 0 and be < iQueries)
-    line.indexOf("\"passes_fused\":") should be > iQueries
+    line.indexOf("\"metric\":") should be > iQueries
+    line.indexOf("\"turns_per_sec\":") should be > iQueries
+    line.indexOf("\"steal_pct\":") should be > iQueries
+  }
+
+  test("free-text head values (sf path with quote/backslash) still render valid JSON") {
+    val line = Bench.renderLine(Seq.empty, Seq.empty, Seq("q_ok" -> 1.0),
+      Seq("sf" -> Bench.jstr("""/weird "dir"\path"""), "metric" -> "\"total\""), dp = 2)
+    val json = JsonMethods.parse(line)
+    (json \ "sf") shouldBe JString("""/weird "dir"\path""")
+  }
+
+  test("full file line (4 dp, pass arrays in tail) parses and keeps full precision") {
+    val line = Bench.renderLine(
+      Seq("metric" -> "\"total\"", "master" -> Bench.jstr("local-cluster[4,8,16384]")),
+      Seq.empty, Seq("q_ok" -> 1.23456789),
+      Seq("queries_steal" -> "{\"q_ok\":0.2}",
+        "passes_fused" -> "[40.629,3.981,3.851]",
+        "steal_passes" -> "[0.1,0.2,0.0]",
+        "passes_chain" -> "[41.001,8.301]"), dp = 4)
+    val json = JsonMethods.parse(line)
+    (json \ "queries" \ "q_ok") shouldBe JDouble(1.2346)
+    (json \ "master") shouldBe JString("local-cluster[4,8,16384]")
+    (json \ "queries_steal" \ "q_ok") shouldBe JDouble(0.2)
   }
 }

@@ -23,7 +23,10 @@ class GopherQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
       // doc 3: shorter than a 5-gram -> no dup5 row, coalesced to 0;
       // top2 = "q q" count 2 * len 3 / 5 (overlap-counting, like the
       // public datatrove/NeMo implementations)
-      (3L, "q q q")
+      (3L, "q q q"),
+      // doc 4: a 7-gram repeated with a spacer -> dup5/6/7 fire, dup8+
+      // don't. Text len 29; "a b c d e f g" spans [0,13) and [16,29)
+      (4L, "a b c d e f g X a b c d e f g")
     ).toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
     d
   }
@@ -42,6 +45,43 @@ class GopherQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     val b = GopherQuality.quality(spark, dir, materializeTokens = true)
       .collect().sortBy(_.getLong(0)).map(_.toString)
     a shouldBe b
+  }
+
+  test("dup-n family n=6..10: hand-computed doc-4 fractions at the published thresholds") {
+    val rows = GopherQuality.quality(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the repeated 7-gram covers [0,13) + [16,29) = 26 of 29 chars; its
+    // 5- and 6-gram sub-windows are duplicated too and their span
+    // unions cover the same 26 chars; no 8-gram repeats (the X spacer)
+    rows(4L).getAs[Double]("dup5_frac") shouldBe 26.0 / 29.0 +- 1e-6
+    rows(4L).getAs[Double]("dup6_frac") shouldBe 26.0 / 29.0 +- 1e-6
+    rows(4L).getAs[Double]("dup7_frac") shouldBe 26.0 / 29.0 +- 1e-6
+    rows(4L).getAs[Double]("dup8_frac") shouldBe 0.0
+    rows(4L).getAs[Double]("dup9_frac") shouldBe 0.0
+    rows(4L).getAs[Double]("dup10_frac") shouldBe 0.0
+    rows(4L).getAs[Boolean]("gopher_keep") shouldBe false // 26/29 > 0.15
+    // a clean doc passes every member of the widened family
+    rows(2L).getAs[Double]("dup10_frac") shouldBe 0.0
+  }
+
+  test("pathological mega-doc (100k tokens): per-doc windows stay correct at the stated bound") {
+    // the char_start running sum and the dup-span windows serialize per
+    // doc (Scaladoc-stated bound ≲ 10^6 tokens); pin correctness at a
+    // 100k-token doc: all tokens identical -> every n-gram duplicated,
+    // span union covers the full text exactly -> dup_n = 1.0 for all n
+    import spark.implicits._
+    val d = Files.createTempDirectory("gopher_mega").toString
+    val mega = Seq.fill(100000)("w").mkString(" ") // len 199,999
+    Seq((0L, mega), (1L, "one two three four five six"))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val rows = GopherQuality.quality(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    rows(0L).getAs[Double]("dup5_frac") shouldBe 1.0
+    rows(0L).getAs[Double]("dup10_frac") shouldBe 1.0
+    // top2 uses overlap counting: 99,999 bigrams x 3 chars / 199,999
+    rows(0L).getAs[Double]("top2_frac") shouldBe 99999 * 3.0 / 199999 +- 1e-4
+    rows(0L).getAs[Boolean]("gopher_keep") shouldBe false
+    rows(1L).getAs[Boolean]("gopher_keep") shouldBe false // tie-break top2 8/27
   }
 
   test("top-n fractions and the published-threshold keep decision") {

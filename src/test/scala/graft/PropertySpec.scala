@@ -184,7 +184,7 @@ class PropertySpec extends AnyFunSuite with Matchers {
     // the longer match fails its start boundary the shorter must still
     // fire (pre-fix, the terminal's own output shadowed fail-link outputs)
     val kws = Seq("credit card", "card", "social security number", "number")
-    val auto = graft.functions.AhoCorasick.automaton(kws.mkString(""))
+    val auto = graft.functions.AhoCorasick.automaton(kws.mkString("\u0001"))
     val rx = java.util.regex.Pattern.compile(
       "\\b(" + kws.mkString("|") + ")\\b", java.util.regex.Pattern.CASE_INSENSITIVE)
     val pinned = Seq(

@@ -87,6 +87,15 @@ class SourcesSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val empty = write("""{"object":"list","data":[{"object":"model"}]}""")
     an[ModelsJson.ModelFetchError] should be thrownBy
       ModelsJson.parseModels(spark, empty)
+    // Python truthiness: `if m.get("id")` also drops EMPTY-string ids —
+    // an all-empty listing must raise, not return rows
+    val blank = write("""{"object":"list","data":[{"id":"","object":"model"}]}""")
+    an[ModelsJson.ModelFetchError] should be thrownBy
+      ModelsJson.parseModels(spark, blank)
+    val mixed = write("""{"object":"list","data":[
+      {"id":"","object":"model"},{"id":"phi3","object":"model"}]}""")
+    ModelsJson.parseModels(spark, mixed).collect().map(_.getString(0)) shouldBe
+      Array("phi3")
   }
 
   private lazy val treeFixture: String = {

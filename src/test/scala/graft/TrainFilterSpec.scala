@@ -24,4 +24,22 @@ class TrainFilterSpec extends AnyFunSuite with Matchers with SparkTestBase {
       spark.read.parquet(s"$stageDir/$leg").count() shouldBe 500L
     }
   }
+
+  test("two concurrent staged runs (nonce'd dirs, as SparkEntry builds them) both hash-match") {
+    // r4 verdict nit: a shared stage dir raced concurrent Verify + Bench
+    // runs on the overwrite. SparkEntry now keys the dir by a
+    // per-invocation nonce; prove two SIMULTANEOUS staged filters over
+    // the same input both produce the composed result
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fn = SparkEntry.queries("q_train_filter_staged")
+    val runs = Seq.fill(2)(Future(fn(spark, dir).collect()
+      .map(_.toString).sorted.mkString("\n")))
+    val Seq(a, b) = Await.result(Future.sequence(runs), 10.minutes)
+    val composed = TrainFilter.trainFilter(spark, dir).collect()
+      .map(_.toString).sorted.mkString("\n")
+    a shouldBe composed
+    b shouldBe composed
+  }
 }
