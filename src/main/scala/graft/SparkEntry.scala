@@ -242,6 +242,9 @@ object SparkEntry {
     "q_langid_model" -> (operators.LangIdModel.predict _),
     "q_perplexity" -> (operators.Perplexity.score _),
     "q_perplexity_topv" -> ((s, dir) => operators.Perplexity.scoreTopV(s, dir)),
+    // trigram stupid-backoff (Brants'07): train on the 90% split, score
+    // all docs so held-out docs exercise the backoff chain
+    "q_perplexity_trigram" -> ((s, dir) => operators.Perplexity.scoreTrigramSB(s, dir)),
     "q_quality" -> (operators.TextStats.quality _),
     // Gopher repetition rules (Rae'21 A1.1): top n-gram char fraction
     // + union-of-spans duplicate 5-gram fraction, published thresholds
@@ -334,6 +337,7 @@ object SparkEntry {
     "q_langid_model" -> operators.LangIdModel.predictOracle,
     "q_perplexity" -> operators.Perplexity.oracle,
     "q_perplexity_topv" -> operators.Perplexity.topVOracle(),
+    "q_perplexity_trigram" -> operators.Perplexity.trigramSBOracle(),
     "q_quality" -> operators.TextStats.qualityOracle,
     "q_gopher_quality" -> operators.GopherQuality.qualityOracle,
     "q_token_count" -> operators.TextStats.tokenCountOracle,

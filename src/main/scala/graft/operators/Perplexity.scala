@@ -84,6 +84,143 @@ object Perplexity {
         round(exp(-avg(log((col("c2") + 1.0) / (col("c1") + col("v"))))), 4).as("ppl"))
   }
 
+  /** Trigram stupid backoff (Brants et al. 2007, "Large Language
+    * Models in Machine Translation") — the production-shape LM score:
+    * no normalization, just counts and a fixed 0.4 back-off weight:
+    *
+    *   S(w3|w1,w2) = c3/c2ctx              if the trigram was seen
+    *               = 0.4 * c2/c1ctx        else if bigram (w2,w3) seen
+    *               = 0.4^2 * (c1+1)/(N+V)  else (Laplace unigram base,
+    *                                       keeps S > 0 for any token)
+    *
+    * Trained on the 90% split (doc_id % 10 != 0), scored on ALL docs —
+    * self-training would make every scored trigram count >= 1 and the
+    * back-off chain dead code; the held-out 10% is what actually
+    * exercises it (and mirrors production: reference corpus trains,
+    * candidates score). Vocabulary capped to top-`topV` TRAINING
+    * unigrams (ties lexicographic), everything else mapped to one
+    * <oov> symbol BEFORE counting, so every model table is bounded by
+    * (V+1)^3 rows REGARDLESS of corpus size — all five count tables +
+    * the two scalars are explicit broadcasts, and the corpus-sized
+    * document side's only shuffle is its own per-doc average.
+    * Default V=32 (< this corpus' 57-word vocabulary) so <oov> and
+    * both back-off legs are genuinely exercised at test scale. */
+  def scoreTrigramSB(spark: SparkSession, dir: String, topV: Int = 32): DataFrame = {
+    val Alpha = 0.4
+    val toks = Inputs.documents(spark, dir)
+      .selectExpr("doc_id", "split(lower(text), '\\\\s+') AS t")
+      .filter("size(t) >= 3")
+    val trainToks = toks.filter("doc_id % 10 <> 0")
+    val trainWords = trainToks.selectExpr("doc_id", "explode(t) AS w")
+    val top = broadcast(
+      trainWords.groupBy("w").agg(count(lit(1)).as("cw"))
+        .orderBy(desc("cw"), asc("w")).limit(topV)
+        .select(col("w"), lit(true).as("in_top")))
+    def mapped(df: DataFrame, wc: String, mc: String): DataFrame =
+      df.join(top.select(col("w").as(s"k_$wc"), col("in_top").as(s"t_$wc")),
+          col(wc) === col(s"k_$wc"), "left")
+        .withColumn(mc, when(col(s"t_$wc"), col(wc)).otherwise(lit("<oov>")))
+        .drop(wc, s"k_$wc", s"t_$wc")
+    def grams(src: DataFrame, n: Int): DataFrame = {
+      val fields = (0 until n).map(i => s"t[i+$i] AS w$i").mkString(", ")
+      val g = src.selectExpr("doc_id",
+        s"explode(transform(sequence(0, size(t)-$n), i -> struct($fields))) AS g")
+        .selectExpr(Seq("doc_id") ++ (0 until n).map(i => s"g.w$i AS w$i"): _*)
+      (0 until n).foldLeft(g)((acc, i) => mapped(acc, s"w$i", s"m$i"))
+    }
+    // model tables (TRAIN split; each bounded by (V+1)^arity)
+    val uniT = trainToks.transform(grams(_, 1)).groupBy("m0").agg(count(lit(1)).as("c"))
+    val biT = trainToks.transform(grams(_, 2)).groupBy("m0", "m1").agg(count(lit(1)).as("c"))
+    val triT = trainToks.transform(grams(_, 3)).groupBy("m0", "m1", "m2").agg(count(lit(1)).as("c"))
+    val scal = broadcast(uniT.agg(sum("c").as("n_tok"), count(lit(1)).as("v")))
+    // score side: every trigram position of EVERY doc
+    val pos = grams(toks, 3)
+    val scored = pos
+      .join(broadcast(triT.select(col("m0"), col("m1"), col("m2"), col("c").as("c3"))),
+        Seq("m0", "m1", "m2"), "left")
+      .join(broadcast(biT.select(col("m0"), col("m1"), col("c").as("c2ctx"))),
+        Seq("m0", "m1"), "left")
+      .join(broadcast(biT.select(col("m0").as("m1"), col("m1").as("m2"), col("c").as("c2"))),
+        Seq("m1", "m2"), "left")
+      .join(broadcast(uniT.select(col("m0").as("m1"), col("c").as("c1ctx"))), Seq("m1"), "left")
+      .join(broadcast(uniT.select(col("m0").as("m2"), col("c").as("c1"))), Seq("m2"), "left")
+      .crossJoin(scal)
+      .withColumn("s",
+        when(col("c3").isNotNull, col("c3") / col("c2ctx"))
+          .when(col("c2").isNotNull, lit(Alpha) * col("c2") / col("c1ctx"))
+          .otherwise(lit(Alpha * Alpha) *
+            (coalesce(col("c1"), lit(0L)) + lit(1.0)) / (col("n_tok") + col("v"))))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(exp(-avg(log(col("s")))), 4).as("ppl_sb"))
+  }
+
+  def trigramSBOracle(topV: Int = 32): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |  FROM documents WHERE len(regexp_split_to_array(lower(text), '\\s+')) >= 3
+       |), top AS (
+       |  SELECT w FROM (
+       |    SELECT unnest(t) AS w FROM toks WHERE doc_id % 10 <> 0) u
+       |  GROUP BY w ORDER BY count(*) DESC, w ASC LIMIT $topV
+       |), uni AS (
+       |  SELECT m0, count(*) AS c FROM (
+       |    SELECT CASE WHEN tp.w IS NOT NULL THEN u.w ELSE '<oov>' END AS m0
+       |    FROM (SELECT doc_id, unnest(t) AS w FROM toks WHERE doc_id % 10 <> 0) u
+       |    LEFT JOIN top tp ON tp.w = u.w)
+       |  GROUP BY m0
+       |), bi AS (
+       |  SELECT m0, m1, count(*) AS c FROM (
+       |    SELECT CASE WHEN t0.w IS NOT NULL THEN b.w0 ELSE '<oov>' END AS m0,
+       |           CASE WHEN t1.w IS NOT NULL THEN b.w1 ELSE '<oov>' END AS m1
+       |    FROM (SELECT t[i] AS w0, t[i+1] AS w1
+       |          FROM toks, LATERAL unnest(generate_series(1, len(t)-1)) AS g(i)
+       |          WHERE doc_id % 10 <> 0) b
+       |    LEFT JOIN top t0 ON t0.w = b.w0
+       |    LEFT JOIN top t1 ON t1.w = b.w1)
+       |  GROUP BY m0, m1
+       |), tri AS (
+       |  SELECT m0, m1, m2, count(*) AS c FROM (
+       |    SELECT CASE WHEN t0.w IS NOT NULL THEN b.w0 ELSE '<oov>' END AS m0,
+       |           CASE WHEN t1.w IS NOT NULL THEN b.w1 ELSE '<oov>' END AS m1,
+       |           CASE WHEN t2.w IS NOT NULL THEN b.w2 ELSE '<oov>' END AS m2
+       |    FROM (SELECT t[i] AS w0, t[i+1] AS w1, t[i+2] AS w2
+       |          FROM toks, LATERAL unnest(generate_series(1, len(t)-2)) AS g(i)
+       |          WHERE doc_id % 10 <> 0) b
+       |    LEFT JOIN top t0 ON t0.w = b.w0
+       |    LEFT JOIN top t1 ON t1.w = b.w1
+       |    LEFT JOIN top t2 ON t2.w = b.w2)
+       |  GROUP BY m0, m1, m2
+       |), scal AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n_tok, count(*) AS v FROM uni
+       |), pos AS (
+       |  SELECT doc_id,
+       |    CASE WHEN t0.w IS NOT NULL THEN b.w0 ELSE '<oov>' END AS m0,
+       |    CASE WHEN t1.w IS NOT NULL THEN b.w1 ELSE '<oov>' END AS m1,
+       |    CASE WHEN t2.w IS NOT NULL THEN b.w2 ELSE '<oov>' END AS m2
+       |  FROM (SELECT doc_id, t[i] AS w0, t[i+1] AS w1, t[i+2] AS w2
+       |        FROM toks, LATERAL unnest(generate_series(1, len(t)-2)) AS g(i)) b
+       |  LEFT JOIN top t0 ON t0.w = b.w0
+       |  LEFT JOIN top t1 ON t1.w = b.w1
+       |  LEFT JOIN top t2 ON t2.w = b.w2
+       |), scored AS (
+       |  SELECT p.doc_id,
+       |    CASE WHEN tri.c IS NOT NULL THEN tri.c / CAST(bctx.c AS DOUBLE)
+       |         WHEN b23.c IS NOT NULL THEN 0.4 * b23.c / CAST(u1.c AS DOUBLE)
+       |         ELSE 0.4 * 0.4 * (coalesce(u2.c, 0) + 1.0) / (scal.n_tok + scal.v)
+       |    END AS s
+       |  FROM pos p
+       |  LEFT JOIN tri ON tri.m0 = p.m0 AND tri.m1 = p.m1 AND tri.m2 = p.m2
+       |  LEFT JOIN bi bctx ON bctx.m0 = p.m0 AND bctx.m1 = p.m1
+       |  LEFT JOIN bi b23 ON b23.m0 = p.m1 AND b23.m1 = p.m2
+       |  LEFT JOIN uni u1 ON u1.m0 = p.m1
+       |  LEFT JOIN uni u2 ON u2.m0 = p.m2
+       |  CROSS JOIN scal
+       |)
+       |SELECT doc_id, count(*) AS n_trigrams,
+       |  round(exp(-avg(ln(s))), 4) AS ppl_sb
+       |FROM scored GROUP BY doc_id""".stripMargin
+
   def topVOracle(topV: Int = 256): String =
     s"""WITH toks AS (
        |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t

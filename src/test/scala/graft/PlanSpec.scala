@@ -123,6 +123,13 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     plan should not include "SortMergeJoin"
   }
 
+  test("trigram stupid-backoff: all five model joins broadcast, no sort-merge, no window") {
+    val plan = executed(graft.operators.Perplexity.scoreTrigramSB(spark, dir))
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "Window"
+  }
+
   test("langid model: scoring joins the weight table broadcast-only, no sort agg") {
     val plan = executed(graft.operators.LangIdModel.predict(spark, dir))
     plan should include("BroadcastHashJoin")
