@@ -115,34 +115,120 @@ object GopherQuality {
       .select("doc_id", s"dup${n}_frac")
   }
 
-  /** The per-doc quality row: all four published metrics + the keep
+  /** The per-doc quality row: all nine published metrics + the keep
     * decision. Docs shorter than an n-gram have no row from that
     * metric's aggregation → fraction 0 (coalesced).
     *
-    * `materializeTokens` controls the classic recompute-vs-materialize
-    * trade on the shared exploded token stream (it feeds all four
-    * metric passes): true localCheckpoints it — measured ~2x faster at
-    * sf0.1 (1.6-2.0 s vs 2.8-4.1 s warm, QueryProbe) but materializes
-    * corpus × explode-factor rows, which is infeasible at 100 TB; the
-    * default false recomputes the map-side scan+explode per metric and
-    * streams — the shape that survives scale (same call every iterative
-    * operator here makes: LangIdModel deliberately recomputes its
-    * featurization for the same reason). */
+    * Default = the FUSED single-scan shape ([[qualityFusedLegs]]).
+    * Measured at sf0.1/local[32] (GopherProbe, warm best-of-3): fused
+    * 2.56 s vs per-leg 2.34 s — LOCAL parity, because a page-cached
+    * 100 MB input makes 9 redundant scans free and the per-doc sort
+    * work is identical either way. The fused default is chosen for the
+    * 100 TB shape, where the 9→1 corpus-scan reduction is the dominant
+    * term (object-store re-reads are the cost local measurement cannot
+    * see); the equivalence is spec-asserted, so nothing is traded for
+    * it. `materializeTokens` keeps the recompute-vs-materialize knob on
+    * the token stream (true localCheckpoints it — infeasible at 100 TB,
+    * kept for measurement parity with earlier rounds). */
   def quality(spark: SparkSession, dir: String,
-              materializeTokens: Boolean = false): DataFrame = {
+              materializeTokens: Boolean = false): DataFrame =
+    assemble(Inputs.documents(spark, dir).select("doc_id", "text"),
+      qualityFusedLegs(spark, dir, materializeTokens))
+
+  /** Per-leg re-derivation: each of the 9 metrics runs its own
+    * scan→explode→window chain. This is the PROOF shape (each leg reads
+    * independently and mirrors the oracle CTE 1:1) and the baseline the
+    * fused default is equivalence-tested against. */
+  def qualityPerLeg(spark: SparkSession, dir: String,
+                    materializeTokens: Boolean = false): DataFrame = {
     val docs = Inputs.documents(spark, dir).select("doc_id", "text")
     val t0 = toks(docs)
     val t = if (materializeTokens) t0.localCheckpoint() else t0
     val legs =
       TopNs.map(n => topNgramFrac(t, n)) ++ DupNs.map(n => dupNgramFrac(t, n))
+    assemble(docs, legs)
+  }
+
+  private def assemble(docs: DataFrame, legs: Seq[DataFrame]): DataFrame = {
     val out = legs.foldLeft(docs.select("doc_id")) {
       (acc, leg) => acc.join(leg, Seq("doc_id"), "left")
     }.na.fill(0.0)
+    val topMax = Map(2 -> Top2Max, 3 -> Top3Max, 4 -> Top4Max)
     val keep =
-      TopNs.map(n => col(s"top${n}_frac") <= Map(2 -> Top2Max, 3 -> Top3Max, 4 -> Top4Max)(n))
-        .reduce(_ && _) &&
+      TopNs.map(n => col(s"top${n}_frac") <= topMax(n)).reduce(_ && _) &&
       DupNs.map(n => col(s"dup${n}_frac") <= DupMax(n)).reduce(_ && _)
     out.withColumn("gopher_keep", keep)
+  }
+
+  /** Fused 100-TB shape (default): ALL NINE metrics from ONE corpus
+    * scan. The per-leg shape reads + explodes + per-doc-sorts the token
+    * stream once per metric — 9 corpus scans; at 100 TB scan cost
+    * dominates, so the fused path instead:
+    *   1. computes lead(tok, 1..9) in ONE window (same spec → one sort
+    *      per doc satisfies all nine gram widths),
+    *   2. unpivots to (doc_id, n, gram, span) rows — explode factor 9,
+    *      but map-side, streamed, never materialized,
+    *   3. runs the count / rank / gaps-and-islands windows partitioned
+    *      by (doc_id, n) — the SAME per-n logic as the per-leg shape,
+    *      one shuffle instead of nine,
+    *   4. pivots the 9 (doc_id, metric, frac) streams back to columns.
+    * Result-identical to [[qualityPerLeg]] (GopherQualitySpec asserts
+    * it on fixtures; the shared oracle hashes both). */
+  private def qualityFusedLegs(spark: SparkSession, dir: String,
+                               materializeTokens: Boolean): Seq[DataFrame] = {
+    val docs = Inputs.documents(spark, dir).select("doc_id", "text")
+    val t0 = toks(docs)
+    val t = if (materializeTokens) t0.localCheckpoint() else t0
+    val allNs = (TopNs ++ DupNs).sorted
+    val maxLead = allNs.max - 1
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val withLeads = (1 to maxLead).foldLeft(t) {
+      (acc, i) => acc.withColumn(s"l$i", lead("tok", i).over(byPos))
+    }
+    val gramStructs = allNs.map { n =>
+      val parts = col("tok") +: (1 until n).map(i => col(s"l$i"))
+      when(col(s"l${n - 1}").isNotNull,
+        struct(lit(n).as("n"), concat_ws(" ", parts: _*).as("gram")))
+    }
+    val grams = withLeads
+      .select(col("doc_id"), col("total_chars"), col("pos"), col("char_start"),
+        explode(array(gramStructs: _*)).as("g"))
+      .filter(col("g").isNotNull)
+      .select(col("doc_id"), col("total_chars"), col("pos"), col("char_start"),
+        col("g.n").as("n"), col("g.gram").as("gram"),
+        (col("char_start") + length(col("g.gram"))).as("char_end"))
+    // top n-gram char fraction, n = 2..4 — rank within (doc, n)
+    val topCounted = grams.filter(col("n").isin(TopNs: _*))
+      .groupBy("doc_id", "total_chars", "n", "gram")
+      .agg(count(lit(1)).as("cnt"))
+    val rk = Window.partitionBy("doc_id", "n").orderBy(desc("cnt"), asc("gram"))
+    val topFracs = topCounted.withColumn("rk", row_number().over(rk))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("n"),
+        round(col("cnt") * length(col("gram")) / col("total_chars").cast("double"), 6)
+          .as("frac"))
+      .groupBy("doc_id").pivot("n", TopNs).agg(first("frac"))
+      .select(col("doc_id") +: TopNs.map(n => col(n.toString).as(s"top${n}_frac")): _*)
+    // duplicate n-gram span-union char fraction, n = 5..10
+    val perGram = Window.partitionBy("doc_id", "n", "gram")
+    val dups = grams.filter(col("n").isin(DupNs: _*))
+      .withColumn("cnt", count(lit(1)).over(perGram))
+      .filter(col("cnt") > 1)
+    val byStart = Window.partitionBy("doc_id", "n").orderBy("char_start", "pos")
+    val prevEnd = byStart.rowsBetween(Window.unboundedPreceding, -1)
+    val dupFracs = dups
+      .withColumn("new_island",
+        when(col("char_start") > coalesce(max("char_end").over(prevEnd), lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("new_island").over(
+        byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "total_chars", "n", "island")
+      .agg((max("char_end") - min("char_start")).as("span"))
+      .groupBy("doc_id", "total_chars", "n")
+      .agg(round(sum("span") / col("total_chars").cast("double"), 6).as("frac"))
+      .groupBy("doc_id").pivot("n", DupNs).agg(first("frac"))
+      .select(col("doc_id") +: DupNs.map(n => col(n.toString).as(s"dup${n}_frac")): _*)
+    Seq(topFracs, dupFracs)
   }
 
   // ---- DuckDB twin: the same windows/aggregates verbatim.

@@ -47,6 +47,15 @@ class GopherQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     a shouldBe b
   }
 
+  test("fused single-scan default is result-identical to the per-leg proof shape") {
+    val fused = GopherQuality.quality(spark, dir)
+    val perLeg = GopherQuality.qualityPerLeg(spark, dir)
+    fused.schema.map(f => (f.name, f.dataType)) shouldBe
+      perLeg.schema.map(f => (f.name, f.dataType))
+    fused.collect().sortBy(_.getLong(0)).map(_.toString) shouldBe
+      perLeg.collect().sortBy(_.getLong(0)).map(_.toString)
+  }
+
   test("dup-n family n=6..10: hand-computed doc-4 fractions at the published thresholds") {
     val rows = GopherQuality.quality(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
