@@ -19,7 +19,7 @@ import scala.math.{abs, sqrt}
  *    ("FUNNY!!!" -> "FUNNY" but "good!!!!" survives unstripped and
  *    misses the lexicon).
  *
- * The lexicon is a bundled ~6.9k-entry subset of the published
+ * The lexicon is a bundled ~7.3k-entry subset of the published
  * ~7.5k-entry vader_lexicon (MIT) — src/main/resources/
  * vader_lexicon_subset.txt, hand-curated from public knowledge of the
  * file (this sandbox has no egress to fetch it). Values follow the
