@@ -249,6 +249,10 @@ object SparkEntry {
     // Gopher repetition rules (Rae'21 A1.1): top n-gram char fraction
     // + union-of-spans duplicate 5-gram fraction, published thresholds
     "q_gopher_quality" -> ((s, dir) => operators.GopherQuality.quality(s, dir)),
+    // C4 (Raffel'20 §2.2) line/page rules + corpus-wide 3-sentence-span
+    // dedup, over the deterministic re-punctuated page view
+    "q_c4_clean" -> (operators.C4Quality.clean _),
+    "q_c4_span_dedup" -> (operators.C4Quality.spanDedup _),
     "q_token_count" -> (operators.TextStats.tokenCount _),
     // codegen'd multi-pattern Aho-Corasick keyword scrub
     "q_scrub_keywords" -> (operators.TextStats.scrubKeywords _),
@@ -340,6 +344,8 @@ object SparkEntry {
     "q_perplexity_trigram" -> operators.Perplexity.trigramSBOracle(),
     "q_quality" -> operators.TextStats.qualityOracle,
     "q_gopher_quality" -> operators.GopherQuality.qualityOracle,
+    "q_c4_clean" -> operators.C4Quality.cleanOracle,
+    "q_c4_span_dedup" -> operators.C4Quality.spanDedupOracle,
     "q_token_count" -> operators.TextStats.tokenCountOracle,
     "q_scrub_keywords" -> operators.TextStats.scrubKeywordsOracle,
     "q_fingerprint" -> operators.TextStats.fingerprintOracle,
