@@ -253,6 +253,8 @@ object SparkEntry {
     // dedup, over the deterministic re-punctuated page view
     "q_c4_clean" -> (operators.C4Quality.clean _),
     "q_c4_span_dedup" -> (operators.C4Quality.spanDedup _),
+    // Gopher DOCUMENT-quality rules (Rae'21 A1.1 non-repetition half)
+    "q_gopher_doc" -> (operators.C4Quality.gopherDoc _),
     "q_token_count" -> (operators.TextStats.tokenCount _),
     // codegen'd multi-pattern Aho-Corasick keyword scrub
     "q_scrub_keywords" -> (operators.TextStats.scrubKeywords _),
@@ -346,6 +348,7 @@ object SparkEntry {
     "q_gopher_quality" -> operators.GopherQuality.qualityOracle,
     "q_c4_clean" -> operators.C4Quality.cleanOracle,
     "q_c4_span_dedup" -> operators.C4Quality.spanDedupOracle,
+    "q_gopher_doc" -> operators.C4Quality.gopherDocOracle,
     "q_token_count" -> operators.TextStats.tokenCountOracle,
     "q_scrub_keywords" -> operators.TextStats.scrubKeywordsOracle,
     "q_fingerprint" -> operators.TextStats.fingerprintOracle,

@@ -30,11 +30,16 @@ import org.apache.spark.sql.functions._
  * DETERMINISTIC re-punctuated page view built by a shared enrichment
  * CTE (same construction in the Spark plan and the DuckDB oracle —
  * the established Transcripts.fromDocuments pattern): '.' closes every
- * 7th token, a newline every 21st, a deterministic subset of docs gets
- * marker lines exercising each rule (javascript / lorem ipsum / brace /
- * blocklist), and docs with doc_id % 11 ∈ {1,2} borrow their token
- * stream from the template doc at doc_id - (doc_id % 11) so
- * three-sentence spans genuinely repeat across documents.
+ * 7th token, a newline every 21st, the stop word "of" is woven in
+ * after token i when i % 7 = 3 and i >= 35 (doc-id-INDEPENDENT, so
+ * identical raw texts still yield identical pages — required by the
+ * span-dedup borrow property — while docs shorter than ~36 tokens
+ * genuinely fail the Gopher stop-word rule along with the word-count
+ * rule), a deterministic subset of docs gets marker lines exercising
+ * each rule (javascript / lorem ipsum / brace / blocklist), and docs
+ * with doc_id % 11 ∈ {1,2} borrow their token stream from the template
+ * doc at doc_id - (doc_id % 11) so three-sentence spans genuinely
+ * repeat across documents.
  *
  * Scale shape: line and page rules are pure map-side string work; the
  * sentence rebuild is one groupBy(doc_id); span dedup is ONE shuffle
@@ -66,6 +71,7 @@ object C4Quality {
         """concat(
           |  concat_ws('', transform(sequence(0, size(t) - 1), i -> concat(
           |    t[i],
+          |    CASE WHEN i % 7 = 3 AND i >= 35 THEN ' of' ELSE '' END,
           |    CASE WHEN i % 7 = 6 THEN '.' ELSE '' END,
           |    CASE WHEN i = size(t) - 1 THEN ''
           |         WHEN i % 21 = 20 THEN '\n' ELSE ' ' END))),
@@ -88,6 +94,7 @@ object C4Quality {
       |    concat(
       |      (SELECT string_agg(
       |         concat(parts[i],
+      |           CASE WHEN (i - 1) % 7 = 3 AND (i - 1) >= 35 THEN ' of' ELSE '' END,
       |           CASE WHEN (i - 1) % 7 = 6 THEN '.' ELSE '' END,
       |           CASE WHEN i = len(parts) THEN ''
       |                WHEN (i - 1) % 21 = 20 THEN chr(10) ELSE ' ' END), '' ORDER BY i)
@@ -191,6 +198,89 @@ object C4Quality {
       .select(col("doc_id"), col("n_sentences").cast("long").as("n_sentences"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
+
+  // ---- Gopher DOCUMENT-quality rules (Rae'21 A1.1, the non-repetition
+  // half; GopherQuality covers the repetition half). All published
+  // thresholds; every rule is a map-side expression over the page view
+  // (no shuffle at all — the whole operator is scan → project).
+
+  /** Published Gopher doc-filter thresholds (Rae'21 A1.1). */
+  val MinWords = 50
+  val MaxWords = 100000
+  val MinMeanWordLen = 3.0
+  val MaxMeanWordLen = 10.0
+  val MaxSymbolRatio = 0.1
+  val MaxBulletFrac = 0.9
+  val MaxEllipsisFrac = 0.3
+  val MinAlphaFrac = 0.8
+  /** The paper's stop-word list; a doc must contain >= 2 of them. */
+  val GopherStops: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** q_gopher_doc: all 7 published document-level rules + keep flag.
+    * On this corpus the bullet/ellipsis/symbol rules pass trivially
+    * (the vocabulary has no such characters) — they are pinned on real
+    * text by C4QualitySpec; word-count and stop-word rules genuinely
+    * split the corpus (docs shorter than 50 tokens fail; only pages
+    * whose marker lines carry a second distinct stop word pass the
+    * stop-word rule). */
+  def gopherDoc(spark: SparkSession, dir: String): DataFrame =
+    gopherDocPages(pageView(spark, dir))
+
+  /** The rule computation over any (doc_id, page) frame (spec entry). */
+  def gopherDocPages(pages: DataFrame): DataFrame = {
+    val stops = GopherStops.map(s => s"'$s'").mkString("array(", ",", ")")
+    pages.selectExpr("doc_id",
+        "filter(split(replace(page, '\n', ' '), ' +'), w -> w != '') AS ws",
+        "split(page, '\n') AS ls",
+        "page")
+      .selectExpr("doc_id",
+        "size(ws) AS n_words",
+        "round(aggregate(ws, 0, (a, w) -> a + length(w)) / CAST(size(ws) AS DOUBLE), 6) AS mean_word_len",
+        "round((length(page) - length(replace(page, '#', '')) + (length(page) - length(replace(page, '...', ''))) div 3) / CAST(size(ws) AS DOUBLE), 6) AS symbol_ratio",
+        "round(size(filter(ls, l -> ltrim(l) LIKE '•%' OR ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%')) / CAST(size(ls) AS DOUBLE), 6) AS bullet_frac",
+        "round(size(filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) / CAST(size(ls) AS DOUBLE), 6) AS ellipsis_frac",
+        "round(size(filter(ws, w -> w RLIKE '[A-Za-z]')) / CAST(size(ws) AS DOUBLE), 6) AS alpha_frac",
+        s"size(array_intersect(array_distinct(transform(ws, w -> lower(w))), $stops)) AS stop_hits")
+      .withColumn("gopher_doc_keep",
+        col("n_words").between(MinWords, MaxWords) &&
+          col("mean_word_len").between(MinMeanWordLen, MaxMeanWordLen) &&
+          col("symbol_ratio") <= MaxSymbolRatio &&
+          col("bullet_frac") <= MaxBulletFrac &&
+          col("ellipsis_frac") <= MaxEllipsisFrac &&
+          col("alpha_frac") >= MinAlphaFrac &&
+          col("stop_hits") >= 2)
+  }
+
+  def gopherDocOracle: String = {
+    val stops = GopherStops.map(s => s"'$s'").mkString("[", ",", "]")
+    s"""WITH $pageViewCte, feats AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(replace(page, chr(10), ' '), ' +'), w -> w != '') AS ws,
+       |    string_split(page, chr(10)) AS ls,
+       |    page
+       |  FROM pages
+       |), m AS (
+       |  SELECT doc_id,
+       |    CAST(len(ws) AS INT) AS n_words,
+       |    round(list_sum(list_transform(ws, w -> len(w))) / CAST(len(ws) AS DOUBLE), 6) AS mean_word_len,
+       |    round((len(page) - len(replace(page, '#', ''))
+       |           + (len(page) - len(replace(page, '...', ''))) // 3) / CAST(len(ws) AS DOUBLE), 6) AS symbol_ratio,
+       |    round(len(list_filter(ls, l -> ltrim(l) LIKE '•%' OR ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%')) / CAST(len(ls) AS DOUBLE), 6) AS bullet_frac,
+       |    round(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) / CAST(len(ls) AS DOUBLE), 6) AS ellipsis_frac,
+       |    round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) / CAST(len(ws) AS DOUBLE), 6) AS alpha_frac,
+       |    CAST(len(list_intersect(list_distinct(list_transform(ws, w -> lower(w))), $stops)) AS INT) AS stop_hits
+       |  FROM feats
+       |)
+       |SELECT *,
+       |  (n_words BETWEEN $MinWords AND $MaxWords
+       |   AND mean_word_len BETWEEN $MinMeanWordLen AND $MaxMeanWordLen
+       |   AND symbol_ratio <= $MaxSymbolRatio
+       |   AND bullet_frac <= $MaxBulletFrac
+       |   AND ellipsis_frac <= $MaxEllipsisFrac
+       |   AND alpha_frac >= $MinAlphaFrac
+       |   AND stop_hits >= 2) AS gopher_doc_keep
+       |FROM m""".stripMargin
   }
 
   def spanDedupOracle: String =

@@ -6,15 +6,17 @@ import org.apache.spark.sql.functions._
 /**
  * The composed corpus-curation decision — what a training-data pipeline
  * actually materializes per document: quality gate × language gate ×
- * Gopher repetition gate × dedup keep-list joined into one `train_keep`
- * flag with the reasons alongside. Each leg is an already-oracle-proven
- * operator ([[TextStats.quality]], [[LangIdModel.predict]],
- * [[GopherQuality.quality]], [[Dedup.keepList]]); this query proves
- * they COMPOSE — the DuckDB twin nests each leg's full SQL (including
- * the keep-list's recursive CTE and the Gopher window chain) and must
- * still hash-match.
+ * Gopher repetition gate × Gopher document gate × C4 page gate × dedup
+ * keep-list joined into one `train_keep` flag with the reasons
+ * alongside. Each leg is an already-oracle-proven operator
+ * ([[TextStats.quality]], [[LangIdModel.predict]],
+ * [[GopherQuality.quality]], [[C4Quality.gopherDoc]],
+ * [[C4Quality.clean]], [[Dedup.keepList]]); this query proves they
+ * COMPOSE — the DuckDB twin nests each leg's full SQL (including the
+ * keep-list's recursive CTE, the Gopher window chain, and the C4
+ * enrichment + line rules) and must still hash-match.
  *
- * Scale shape: four doc_id-keyed equi-joins of corpus-sized frames —
+ * Scale shape: six doc_id-keyed equi-joins of corpus-sized frames —
  * at production scale these co-partition on doc_id (one shuffle each,
  * or zero with bucketed tables); no leg introduces anything beyond its
  * own audited plan.
@@ -24,11 +26,14 @@ object TrainFilter {
   val KeepLang = "en"
 
   private def compose(q: DataFrame, l: DataFrame, k: DataFrame,
-                      g: DataFrame): DataFrame =
+                      g: DataFrame, gd: DataFrame, c4: DataFrame): DataFrame =
     q.join(l, "doc_id").join(k, "doc_id").join(g, "doc_id")
+      .join(gd, "doc_id").join(c4, "doc_id")
       .selectExpr("doc_id",
-        s"pass AND lang_pred = '$KeepLang' AND dedup_keep AND gopher_keep AS train_keep",
-        "quality_score", "lang_pred", "gopher_keep", "reason")
+        s"pass AND lang_pred = '$KeepLang' AND dedup_keep AND gopher_keep" +
+          " AND gopher_doc_keep AND c4_keep AS train_keep",
+        "quality_score", "lang_pred", "gopher_keep", "gopher_doc_keep",
+        "c4_keep", "reason")
 
   /** Composition PROOF shape: one declarative query re-deriving every
     * leg from the raw corpus, with an exact nested SQL twin. Use this
@@ -42,7 +47,10 @@ object TrainFilter {
     val k = Dedup.keepList(spark, dir)
       .select(col("doc_id"), col("keep").as("dedup_keep"), col("reason"))
     val g = GopherQuality.quality(spark, dir).select("doc_id", "gopher_keep")
-    compose(q, l, k, g)
+    val gd = C4Quality.gopherDoc(spark, dir).select("doc_id", "gopher_doc_keep")
+    val c4 = C4Quality.clean(spark, dir)
+      .select(col("doc_id"), col("page_keep").as("c4_keep"))
+    compose(q, l, k, g, gd, c4)
   }
 
   /** Production shape: each leg is computed ONCE, written to a staging
@@ -52,7 +60,7 @@ object TrainFilter {
     * failed final join resumes from the staged parquet instead of
     * recomputing. Same rows as [[trainFilter]] (TrainFilterSpec asserts
     * hash-equality; same oracle SQL). At cluster scale the staging dir
-    * is a real table (Iceberg/bucketed parquet on doc_id) and the three
+    * is a real table (Iceberg/bucketed parquet on doc_id) and the
     * final joins co-partition without a shuffle. */
   def trainFilterStaged(spark: SparkSession, dir: String, stageDir: String): DataFrame = {
     def stage(name: String, df: DataFrame): DataFrame = {
@@ -67,10 +75,14 @@ object TrainFilter {
       .select(col("doc_id"), col("keep").as("dedup_keep"), col("reason")))
     val g = stage("gopher",
       GopherQuality.quality(spark, dir).select("doc_id", "gopher_keep"))
-    compose(q, l, k, g)
+    val gd = stage("gopherdoc",
+      C4Quality.gopherDoc(spark, dir).select("doc_id", "gopher_doc_keep"))
+    val c4 = stage("c4",
+      C4Quality.clean(spark, dir).select(col("doc_id"), col("page_keep").as("c4_keep")))
+    compose(q, l, k, g, gd, c4)
   }
 
-  /** The four legs' oracles nested as CTE bodies + the same joins. */
+  /** The six legs' oracles nested as CTE bodies + the same joins. */
   def trainFilterOracle: String =
     s"""WITH q AS (
        |${TextStats.qualityOracle}
@@ -80,12 +92,20 @@ object TrainFilter {
        |${Dedup.keepListOracle()}
        |), g AS (
        |${GopherQuality.qualityOracle}
+       |), gd AS (
+       |${C4Quality.gopherDocOracle}
+       |), c4 AS (
+       |${C4Quality.cleanOracle}
        |)
        |SELECT q.doc_id,
-       |  (q.pass AND l.lang_pred = '$KeepLang' AND k.keep AND g.gopher_keep) AS train_keep,
-       |  q.quality_score, l.lang_pred, g.gopher_keep, k.reason
+       |  (q.pass AND l.lang_pred = '$KeepLang' AND k.keep AND g.gopher_keep
+       |   AND gd.gopher_doc_keep AND c4.page_keep) AS train_keep,
+       |  q.quality_score, l.lang_pred, g.gopher_keep,
+       |  gd.gopher_doc_keep, c4.page_keep AS c4_keep, k.reason
        |FROM q
        |JOIN l ON l.doc_id = q.doc_id
        |JOIN k ON k.doc_id = q.doc_id
-       |JOIN g ON g.doc_id = q.doc_id""".stripMargin
+       |JOIN g ON g.doc_id = q.doc_id
+       |JOIN gd ON gd.doc_id = q.doc_id
+       |JOIN c4 ON c4.doc_id = q.doc_id""".stripMargin
 }

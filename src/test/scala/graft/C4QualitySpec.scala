@@ -75,6 +75,27 @@ class C4QualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(7L).getAs[Long]("n_kept") shouldBe out(7L).getAs[Long]("n_sentences")
   }
 
+  test("gopher doc rules: each published threshold pinned on real text") {
+    val base = (1 to 60).map(i => s"token$i").mkString(" ") // 60 alpha words
+    val df = C4Quality.gopherDocPages(pages(
+      // passes everything: 60 words, mean len ~6, the/that = 2 stops
+      (0L, base + " the cat saw that dog"),
+      (1L, "the of " + (1 to 30).map(i => s"w$i").mkString(" ")),   // 38 words < 50
+      (2L, base + " the of " + Seq.fill(60)("## ##").mkString(" ")), // symbol ratio > 0.1
+      (3L, (1 to 60).map(_ => "ab").mkString(" ") + " the of"),      // mean word len 2.06 < 3
+      (4L, base + " the of\n" + (1 to 19).map(_ => "- bullet item alpha").mkString("\n")), // 19/20 lines bulleted
+      (5L, base + " the of\n" + "trailing thought goes on...\n" + "another one trails off too..."), // 2/3 lines ellipsis
+      (6L, (1 to 60).map(_ => "123 456").mkString(" ") + " the of"), // alpha frac < 0.8
+      (7L, base + " extra the only")))                               // 1 stop hit < 2
+    val keep = df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("gopher_doc_keep")).toMap
+    keep shouldBe Map(0L -> true, 1L -> false, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false, 6L -> false, 7L -> false)
+    val m = df.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    m(0L).getAs[Int]("stop_hits") shouldBe 2
+    m(4L).getAs[Double]("bullet_frac") shouldBe 0.95 +- 1e-6 // 19/20 > 0.9 threshold
+    m(5L).getAs[Double]("ellipsis_frac") shouldBe 2.0 / 3.0 +- 1e-6
+  }
+
   test("sf0.001 page view: every rule fires somewhere and survivors exist") {
     val df = C4Quality.clean(spark, "/root/testdata/sf0.001")
     val n = df.count()

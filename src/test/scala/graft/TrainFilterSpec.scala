@@ -20,7 +20,7 @@ class TrainFilterSpec extends AnyFunSuite with Matchers with SparkTestBase {
     staged.exceptAll(composed).count() shouldBe 0L
     composed.exceptAll(staged).count() shouldBe 0L
     // the legs really were materialized (resume/reuse point exists)
-    Seq("quality", "langid", "keeplist", "gopher").foreach { leg =>
+    Seq("quality", "langid", "keeplist", "gopher", "gopherdoc", "c4").foreach { leg =>
       spark.read.parquet(s"$stageDir/$leg").count() shouldBe 500L
     }
   }
