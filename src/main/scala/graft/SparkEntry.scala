@@ -255,6 +255,13 @@ object SparkEntry {
     "q_c4_span_dedup" -> (operators.C4Quality.spanDedup _),
     // Gopher DOCUMENT-quality rules (Rae'21 A1.1 non-repetition half)
     "q_gopher_doc" -> (operators.C4Quality.gopherDoc _),
+    // benchmark decontamination (Brown'20 App.C): 13-gram overlap vs
+    // the held-out split, eval grams broadcast
+    "q_decontaminate" -> (operators.Curation.decontaminate _),
+    // mixture weights -> per-domain sampling rates vs a token budget
+    "q_mix_sample" -> (operators.Curation.mixSample _),
+    // concat-and-chunk packing into fixed-length training sequences
+    "q_seq_pack" -> (operators.Curation.seqPack _),
     "q_token_count" -> (operators.TextStats.tokenCount _),
     // codegen'd multi-pattern Aho-Corasick keyword scrub
     "q_scrub_keywords" -> (operators.TextStats.scrubKeywords _),
@@ -349,6 +356,9 @@ object SparkEntry {
     "q_c4_clean" -> operators.C4Quality.cleanOracle,
     "q_c4_span_dedup" -> operators.C4Quality.spanDedupOracle,
     "q_gopher_doc" -> operators.C4Quality.gopherDocOracle,
+    "q_decontaminate" -> operators.Curation.decontaminateOracle,
+    "q_mix_sample" -> operators.Curation.mixSampleOracle,
+    "q_seq_pack" -> operators.Curation.seqPackOracle,
     "q_token_count" -> operators.TextStats.tokenCountOracle,
     "q_scrub_keywords" -> operators.TextStats.scrubKeywordsOracle,
     "q_fingerprint" -> operators.TextStats.fingerprintOracle,
