@@ -255,6 +255,9 @@ object SparkEntry {
     "q_c4_span_dedup" -> (operators.C4Quality.spanDedup _),
     // Gopher DOCUMENT-quality rules (Rae'21 A1.1 non-repetition half)
     "q_gopher_doc" -> (operators.C4Quality.gopherDoc _),
+    // two-tier blocklist toxicity gate + AC scrub (C4-style drop rule
+    // + density threshold), over the deterministic seeded view
+    "q_toxicity" -> (operators.Toxicity.toxicity _),
     // benchmark decontamination (Brown'20 App.C): 13-gram overlap vs
     // the held-out split, eval grams broadcast
     "q_decontaminate" -> (operators.Curation.decontaminate _),
@@ -356,6 +359,7 @@ object SparkEntry {
     "q_c4_clean" -> operators.C4Quality.cleanOracle,
     "q_c4_span_dedup" -> operators.C4Quality.spanDedupOracle,
     "q_gopher_doc" -> operators.C4Quality.gopherDocOracle,
+    "q_toxicity" -> operators.Toxicity.toxicityOracle,
     "q_decontaminate" -> operators.Curation.decontaminateOracle,
     "q_mix_sample" -> operators.Curation.mixSampleOracle,
     "q_seq_pack" -> operators.Curation.seqPackOracle,

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -150,6 +150,18 @@ object AhoCorasick {
       hits.toSeq
     }
 
+    /** How many replacements [[scrub]] would make: leftmost-first,
+      * non-overlapping — the same count `regexp_extract_all` with the
+      * equivalent alternation returns (prefix-freeness makes alternation
+      * order irrelevant, so the two agree exactly on ASCII text). */
+    def countMatches(text: String): Int = {
+      val hits = spans(text).sortBy(_._1)
+      var pos = 0
+      var n = 0
+      hits.foreach { case (a, b) => if (a >= pos) { n += 1; pos = b } }
+      n
+    }
+
     /** replaceAll semantics: leftmost match first, resume past its end. */
     def scrub(text: String, mask: String): String = {
       val hits = spans(text).sortBy(_._1)
@@ -179,6 +191,9 @@ object AhoCorasick {
   def scrubStatic(text: UTF8String, joined: String, mask: String): UTF8String =
     UTF8String.fromString(automaton(joined).scrub(text.toString, mask))
 
+  def countStatic(text: UTF8String, joined: String): Int =
+    automaton(joined).countMatches(text.toString)
+
   def any(c: Column, keywords: Seq[String]): Column = {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(AcAnyExpr(GraftBridge.expression(c), keywords))
@@ -187,6 +202,11 @@ object AhoCorasick {
   def scrub(c: Column, keywords: Seq[String], mask: String): Column = {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(AcScrubExpr(GraftBridge.expression(c), keywords, mask))
+  }
+
+  def count(c: Column, keywords: Seq[String]): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(AcCountExpr(GraftBridge.expression(c), keywords))
   }
 }
 
@@ -202,6 +222,20 @@ case class AcAnyExpr(child: Expression, keywords: Seq[String]) extends UnaryExpr
   override protected def withNewChildInternal(newChild: Expression): AcAnyExpr =
     copy(child = newChild)
   override def prettyName: String = "ac_any"
+}
+
+case class AcCountExpr(child: Expression, keywords: Seq[String]) extends UnaryExpression {
+  private val joined = keywords.mkString("\u0001")
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    AhoCorasick.countStatic(input.asInstanceOf[UTF8String], joined)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val j = ctx.addReferenceObj("acJoined", joined, "java.lang.String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.AhoCorasick.countStatic($c, $j)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): AcCountExpr =
+    copy(child = newChild)
+  override def prettyName: String = "ac_count"
 }
 
 case class AcScrubExpr(child: Expression, keywords: Seq[String], mask: String)

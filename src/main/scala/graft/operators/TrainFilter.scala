@@ -6,17 +6,17 @@ import org.apache.spark.sql.functions._
 /**
  * The composed corpus-curation decision — what a training-data pipeline
  * actually materializes per document: quality gate × language gate ×
- * Gopher repetition gate × Gopher document gate × C4 page gate × dedup
- * keep-list joined into one `train_keep` flag with the reasons
- * alongside. Each leg is an already-oracle-proven operator
- * ([[TextStats.quality]], [[LangIdModel.predict]],
+ * Gopher repetition gate × Gopher document gate × C4 page gate ×
+ * toxicity gate × dedup keep-list joined into one `train_keep` flag
+ * with the reasons alongside. Each leg is an already-oracle-proven
+ * operator ([[TextStats.quality]], [[LangIdModel.predict]],
  * [[GopherQuality.quality]], [[C4Quality.gopherDoc]],
- * [[C4Quality.clean]], [[Dedup.keepList]]); this query proves they
- * COMPOSE — the DuckDB twin nests each leg's full SQL (including the
- * keep-list's recursive CTE, the Gopher window chain, and the C4
- * enrichment + line rules) and must still hash-match.
+ * [[C4Quality.clean]], [[Toxicity.toxicity]], [[Dedup.keepList]]);
+ * this query proves they COMPOSE — the DuckDB twin nests each leg's
+ * full SQL (including the keep-list's recursive CTE, the Gopher window
+ * chain, and the C4 enrichment + line rules) and must still hash-match.
  *
- * Scale shape: six doc_id-keyed equi-joins of corpus-sized frames —
+ * Scale shape: seven doc_id-keyed equi-joins of corpus-sized frames —
  * at production scale these co-partition on doc_id (one shuffle each,
  * or zero with bucketed tables); no leg introduces anything beyond its
  * own audited plan.
@@ -26,14 +26,15 @@ object TrainFilter {
   val KeepLang = "en"
 
   private def compose(q: DataFrame, l: DataFrame, k: DataFrame,
-                      g: DataFrame, gd: DataFrame, c4: DataFrame): DataFrame =
+                      g: DataFrame, gd: DataFrame, c4: DataFrame,
+                      tx: DataFrame): DataFrame =
     q.join(l, "doc_id").join(k, "doc_id").join(g, "doc_id")
-      .join(gd, "doc_id").join(c4, "doc_id")
+      .join(gd, "doc_id").join(c4, "doc_id").join(tx, "doc_id")
       .selectExpr("doc_id",
         s"pass AND lang_pred = '$KeepLang' AND dedup_keep AND gopher_keep" +
-          " AND gopher_doc_keep AND c4_keep AS train_keep",
+          " AND gopher_doc_keep AND c4_keep AND tox_keep AS train_keep",
         "quality_score", "lang_pred", "gopher_keep", "gopher_doc_keep",
-        "c4_keep", "reason")
+        "c4_keep", "tox_keep", "reason")
 
   /** Composition PROOF shape: one declarative query re-deriving every
     * leg from the raw corpus, with an exact nested SQL twin. Use this
@@ -50,7 +51,8 @@ object TrainFilter {
     val gd = C4Quality.gopherDoc(spark, dir).select("doc_id", "gopher_doc_keep")
     val c4 = C4Quality.clean(spark, dir)
       .select(col("doc_id"), col("page_keep").as("c4_keep"))
-    compose(q, l, k, g, gd, c4)
+    val tx = Toxicity.toxicity(spark, dir).select("doc_id", "tox_keep")
+    compose(q, l, k, g, gd, c4, tx)
   }
 
   /** Production shape: each leg is computed ONCE, written to a staging
@@ -79,10 +81,12 @@ object TrainFilter {
       C4Quality.gopherDoc(spark, dir).select("doc_id", "gopher_doc_keep"))
     val c4 = stage("c4",
       C4Quality.clean(spark, dir).select(col("doc_id"), col("page_keep").as("c4_keep")))
-    compose(q, l, k, g, gd, c4)
+    val tx = stage("toxicity",
+      Toxicity.toxicity(spark, dir).select("doc_id", "tox_keep"))
+    compose(q, l, k, g, gd, c4, tx)
   }
 
-  /** The six legs' oracles nested as CTE bodies + the same joins. */
+  /** The seven legs' oracles nested as CTE bodies + the same joins. */
   def trainFilterOracle: String =
     s"""WITH q AS (
        |${TextStats.qualityOracle}
@@ -96,16 +100,19 @@ object TrainFilter {
        |${C4Quality.gopherDocOracle}
        |), c4 AS (
        |${C4Quality.cleanOracle}
+       |), tx AS (
+       |${Toxicity.toxicityOracle}
        |)
        |SELECT q.doc_id,
        |  (q.pass AND l.lang_pred = '$KeepLang' AND k.keep AND g.gopher_keep
-       |   AND gd.gopher_doc_keep AND c4.page_keep) AS train_keep,
+       |   AND gd.gopher_doc_keep AND c4.page_keep AND tx.tox_keep) AS train_keep,
        |  q.quality_score, l.lang_pred, g.gopher_keep,
-       |  gd.gopher_doc_keep, c4.page_keep AS c4_keep, k.reason
+       |  gd.gopher_doc_keep, c4.page_keep AS c4_keep, tx.tox_keep, k.reason
        |FROM q
        |JOIN l ON l.doc_id = q.doc_id
        |JOIN k ON k.doc_id = q.doc_id
        |JOIN g ON g.doc_id = q.doc_id
        |JOIN gd ON gd.doc_id = q.doc_id
-       |JOIN c4 ON c4.doc_id = q.doc_id""".stripMargin
+       |JOIN c4 ON c4.doc_id = q.doc_id
+       |JOIN tx ON tx.doc_id = q.doc_id""".stripMargin
 }

@@ -225,6 +225,27 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("Aho-Corasick count == regex find-loop count on adversarial text") {
+    import graft.operators.Toxicity
+    val kws = Toxicity.SevereTerms ++ Toxicity.MildTerms
+    val auto = graft.functions.AhoCorasick.automaton(kws.mkString("\u0001"))
+    val rx = java.util.regex.Pattern.compile(
+      "\\b(" + kws.mkString("|") + ")\\b",
+      java.util.regex.Pattern.CASE_INSENSITIVE)
+    val frag = Gen.listOf(Gen.oneOf("damn", "DAMN stupid", "dumbo", "hateful",
+      "hate", "kill yourself", "die in a fire", "die in a", "crap-crap",
+      "e", " ", "-", "名", "moronic moron")).map(_.mkString(" "))
+    val texts = (0 until 600).flatMap(i => frag(Gen.Parameters.default, Seed(3000L + i)))
+    (samples ++ texts).foreach { s =>
+      withClue(s"input: '$s'") {
+        val m = rx.matcher(s)
+        var n = 0
+        while (m.find()) n += 1
+        auto.countMatches(s) shouldBe n
+      }
+    }
+  }
+
   test("FingerprintMin kernel == brute min over 8-gram md5 prefixes") {
     (0 until 200).foreach { _ =>
       val s = (rng.alphanumeric.take(rng.nextInt(60)) ++ Seq.fill(rng.nextInt(4))('é')).mkString
