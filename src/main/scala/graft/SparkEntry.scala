@@ -255,6 +255,10 @@ object SparkEntry {
     "q_c4_span_dedup" -> (operators.C4Quality.spanDedup _),
     // Gopher DOCUMENT-quality rules (Rae'21 A1.1 non-repetition half)
     "q_gopher_doc" -> (operators.C4Quality.gopherDoc _),
+    // FineWeb-Edu-shaped distilled quality classifier: averaged batch
+    // perceptron over hashed trigrams, trained on the heuristic gate's
+    // weak labels (90% split), scored with the broadcast summed weights
+    "q_quality_model" -> (operators.QualityModel.distill _),
     // two-tier blocklist toxicity gate + AC scrub (C4-style drop rule
     // + density threshold), over the deterministic seeded view
     "q_toxicity" -> (operators.Toxicity.toxicity _),
@@ -359,6 +363,7 @@ object SparkEntry {
     "q_c4_clean" -> operators.C4Quality.cleanOracle,
     "q_c4_span_dedup" -> operators.C4Quality.spanDedupOracle,
     "q_gopher_doc" -> operators.C4Quality.gopherDocOracle,
+    "q_quality_model" -> operators.QualityModel.distillOracle,
     "q_toxicity" -> operators.Toxicity.toxicityOracle,
     "q_decontaminate" -> operators.Curation.decontaminateOracle,
     "q_mix_sample" -> operators.Curation.mixSampleOracle,
