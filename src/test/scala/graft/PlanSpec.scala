@@ -147,4 +147,36 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     val r = pipeline.Conversation.rollupSalted(Verdict(Transcripts.fromDocuments(spark, dir)))
     exchanges(r) shouldBe 2
   }
+
+  test("decontamination: eval grams join broadcast-only, no corpus self-join") {
+    val plan = executed(operators.Curation.decontaminate(spark, dir))
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("mix sampling: rate table joins broadcast-only; keep decision is map-side") {
+    val plan = executed(operators.Curation.mixSample(spark, dir))
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("sequence packing shuffles once (by shard) for the per-shard window") {
+    // raw read: the dir entry adds Inputs.spread's small-file repartition,
+    // which vanishes at scale (splits >= cores) and isn't the operator
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    exchanges(operators.Curation.seqPackDocs(raw)) shouldBe 1
+  }
+
+  test("toxicity gate is shuffle-free: three codegen'd AC passes, no join") {
+    val df = operators.Toxicity.toxicity(spark, dir)
+    val plan = executed(df)
+    plan should not include "Join"
+    plan should include("ac_count")
+  }
+
+  test("quality model: scoring joins the weight table broadcast-only") {
+    val plan = executed(operators.QualityModel.distill(spark, dir))
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
 }
