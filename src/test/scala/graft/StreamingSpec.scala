@@ -42,6 +42,39 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestBase {
     q.stop()
   }
 
+  test("map-side curation gates run unchanged on a stream (toxicity + gopher doc)") {
+    // the curation gates are scan→project with no shuffle, so the SAME
+    // frame-level operators compose with readStream with no code change
+    // — the property a 100 TB ingest-time filter needs
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val toxed = graft.operators.Toxicity.toxicityDocs(
+      in.toDF().toDF("doc_id", "text"))
+    val q = StreamingVerdict.runToMemory(spark, toxed, "sv_tox")
+    val rows1 = Seq((22L, (1 to 60).map(i => s"w$i").mkString(" ")))
+    val rows2 = Seq((3L, "a long enough clean doc right here"))
+    in.addData(rows1: _*); q.processAllAvailable()
+    in.addData(rows2: _*); q.processAllAvailable()
+    val streamed = spark.sql("SELECT * FROM sv_tox")
+    val batch = graft.operators.Toxicity.toxicityDocs(
+      (rows1 ++ rows2).toDF("doc_id", "text"))
+    streamed.exceptAll(batch).count() shouldBe 0L
+    batch.exceptAll(streamed).count() shouldBe 0L
+    q.stop()
+
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StreamingVerdict.runToMemory(spark,
+      graft.operators.C4Quality.gopherDocPages(in2.toDF().toDF("doc_id", "page")),
+      "sv_gdoc")
+    val pages = Seq((0L, (1 to 60).map(i => s"tok$i").mkString(" ") + " the cat saw that dog"))
+    in2.addData(pages: _*); q2.processAllAvailable()
+    val s2 = spark.sql("SELECT * FROM sv_gdoc")
+    s2.count() shouldBe 1L
+    s2.collect()(0).getAs[Boolean]("gopher_doc_keep") shouldBe true
+    q2.stop()
+  }
+
   test("streaming dedup keeps the first-seen turn per content hash across micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
