@@ -269,6 +269,9 @@ object SparkEntry {
     "q_mix_sample" -> (operators.Curation.mixSample _),
     // concat-and-chunk packing into fixed-length training sequences
     "q_seq_pack" -> (operators.Curation.seqPack _),
+    // the capstone: 7-leg filter -> mixture sample -> sequence pack,
+    // documents in, packed training sequences out, one nested oracle
+    "q_curate_pipeline" -> (operators.Curation.curatePipeline _),
     "q_token_count" -> (operators.TextStats.tokenCount _),
     // codegen'd multi-pattern Aho-Corasick keyword scrub
     "q_scrub_keywords" -> (operators.TextStats.scrubKeywords _),
@@ -368,6 +371,7 @@ object SparkEntry {
     "q_decontaminate" -> operators.Curation.decontaminateOracle,
     "q_mix_sample" -> operators.Curation.mixSampleOracle,
     "q_seq_pack" -> operators.Curation.seqPackOracle,
+    "q_curate_pipeline" -> operators.Curation.curatePipelineOracle,
     "q_token_count" -> operators.TextStats.tokenCountOracle,
     "q_scrub_keywords" -> operators.TextStats.scrubKeywordsOracle,
     "q_fingerprint" -> operators.TextStats.fingerprintOracle,

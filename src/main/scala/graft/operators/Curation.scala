@@ -132,11 +132,14 @@ object Curation {
         "((CAST(conv(substr(md5(concat('mix', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 10000) / 10000.0) < rate AS keep")
   }
 
-  def mixSampleOracle: String =
+  def mixSampleOracle: String = mixSampleOracleOn("documents")
+
+  /** The oracle over any table/CTE with (doc_id, source, text). */
+  def mixSampleOracleOn(table: String): String =
     s"""WITH base AS (
        |  SELECT doc_id, source,
        |    CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS n_tok
-       |  FROM documents
+       |  FROM $table
        |), s AS (
        |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_toks,
        |    CAST($partsCase AS BIGINT) AS w
@@ -191,11 +194,49 @@ object Curation {
         s"CAST(((cum_tok - 1) div $SeqLen) - ((cum_tok - n_tok) div $SeqLen) + 1 AS INT) AS n_seqs")
   }
 
-  def seqPackOracle: String =
+  // ---- the full curation pipeline, end to end --------------------
+
+  /** q_curate_pipeline: documents in, packed training sequences out —
+    * the whole corpus-curation chain composed: the seven-leg
+    * [[TrainFilter]] decision prunes the corpus, [[mixSample]]
+    * realizes the mixture weights against the token budget of the
+    * SURVIVING corpus (rates are computed post-filter, as a real
+    * pipeline does), and [[seqPack]] lays the sampled docs into
+    * fixed-length training sequences. Every stage is an already
+    * oracle-proven operator; this query proves the end-to-end
+    * composition with one nested DuckDB twin. Scale shape: the legs'
+    * own audited plans + two doc_id equi-joins (co-partitioned at
+    * scale) — nothing new crosses the wire. */
+  def curatePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val kept = TrainFilter.trainFilter(spark, dir)
+      .filter(col("train_keep")).select("doc_id")
+    val docs = Inputs.documents(spark, dir).join(kept, "doc_id")
+    val sampled = mixSampleDocs(docs).filter(col("keep")).select("doc_id")
+    seqPackDocs(docs.join(sampled, "doc_id"))
+  }
+
+  def curatePipelineOracle: String =
+    s"""WITH tf AS (
+       |${TrainFilter.trainFilterOracle}
+       |), kept AS (
+       |  SELECT d.* FROM documents d JOIN tf ON tf.doc_id = d.doc_id AND tf.train_keep
+       |), mix AS (
+       |${mixSampleOracleOn("kept")}
+       |), sampled AS (
+       |  SELECT k.* FROM kept k JOIN mix ON mix.doc_id = k.doc_id AND mix.keep
+       |)
+       |SELECT * FROM (
+       |${seqPackOracleOn("sampled")}
+       |)""".stripMargin
+
+  def seqPackOracle: String = seqPackOracleOn("documents")
+
+  /** The oracle over any table/CTE with (doc_id, text). */
+  def seqPackOracleOn(table: String): String =
     s"""WITH base AS (
        |  SELECT doc_id, CAST(doc_id % $PackShards AS INT) AS shard,
        |    CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS n_tok
-       |  FROM documents
+       |  FROM $table
        |), c AS (
        |  SELECT *, CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok

@@ -88,6 +88,20 @@ class CurationSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(1L) shouldBe ((1, 10L, 0L, 0, 1))
   }
 
+  test("sf0.001 curate pipeline: survivors only, all invariants hold") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Curation.curatePipeline(spark, dir).collect()
+    out.length should be >= 1
+    // only train_keep AND mix-keep docs may appear
+    val kept = graft.operators.TrainFilter.trainFilter(spark, dir)
+      .filter("train_keep").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    out.map(_.getAs[Long]("doc_id")).toSet.subsetOf(kept) shouldBe true
+    out.length should be < kept.size // the mix stage genuinely samples
+    all(out.map(_.getAs[Int]("seq_offset"))) should
+      (be >= 0 and be < Curation.SeqLen)
+  }
+
   test("sf0.001 smoke: contamination fires, rates sane, packing invariants") {
     val dir = "/root/testdata/sf0.001"
     val dec = Curation.decontaminate(spark, dir)
