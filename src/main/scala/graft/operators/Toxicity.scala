@@ -45,8 +45,7 @@ object Toxicity {
   def toxicity(spark: SparkSession, dir: String): DataFrame =
     toxicityDocs(Inputs.documents(spark, dir))
 
-  /** The computation over any (doc_id, text) frame (spec entry). */
-  def toxicityDocs(docs: DataFrame): DataFrame =
+  private def seeded(docs: DataFrame): DataFrame =
     docs
       .selectExpr("doc_id",
         """CASE doc_id % 7
@@ -58,15 +57,35 @@ object Toxicity {
           |  THEN concat(t0, ' just die in a fire already')
           |  ELSE t0 END AS seeded""".stripMargin)
       .selectExpr("doc_id", "seeded", "size(split(seeded, '\\\\s+')) AS n_tok")
+
+  private def finish(df: DataFrame): DataFrame =
+    df.selectExpr("doc_id", "n_tok", "severe_hit", "mild_hits",
+      "round(mild_hits / CAST(n_tok AS DOUBLE), 6) AS tox_ratio",
+      s"NOT severe_hit AND round(mild_hits / CAST(n_tok AS DOUBLE), 6) <= $MaxMildRatio AS tox_keep",
+      "tox_scrubbed")
+
+  /** The computation over any (doc_id, text) frame (spec entry).
+    * DEFAULT = the fused [[graft.functions.AcToxExpr]] kernel: ONE
+    * automaton pass yields all three signals — a third of the text
+    * scans of the chain below, which is kept as the proof shape
+    * (ToxicitySpec asserts hash-equality). */
+  def toxicityDocs(docs: DataFrame): DataFrame =
+    finish(seeded(docs)
+      .select(col("doc_id"), col("n_tok"),
+        graft.functions.AhoCorasick.tox(col("seeded"),
+          SevereTerms, MildTerms, ToxMask).as("tox"))
+      .selectExpr("doc_id", "n_tok", "tox.severe_hit AS severe_hit",
+        "tox.mild_hits AS mild_hits", "tox.scrubbed AS tox_scrubbed"))
+
+  /** The three-expression chain (severe any + mild count + combined
+    * scrub) — the semantic baseline the fused kernel must match. */
+  def toxicityDocsChain(docs: DataFrame): DataFrame =
+    finish(seeded(docs)
       .select(col("doc_id"), col("n_tok"),
         graft.functions.AhoCorasick.any(col("seeded"), SevereTerms).as("severe_hit"),
         graft.functions.AhoCorasick.count(col("seeded"), MildTerms).as("mild_hits"),
         graft.functions.AhoCorasick.scrub(col("seeded"),
-          SevereTerms ++ MildTerms, ToxMask).as("tox_scrubbed"))
-      .selectExpr("doc_id", "n_tok", "severe_hit", "mild_hits",
-        "round(mild_hits / CAST(n_tok AS DOUBLE), 6) AS tox_ratio",
-        s"NOT severe_hit AND round(mild_hits / CAST(n_tok AS DOUBLE), 6) <= $MaxMildRatio AS tox_keep",
-        "tox_scrubbed")
+          SevereTerms ++ MildTerms, ToxMask).as("tox_scrubbed")))
 
   def toxicityOracle: String = {
     val severeAlt = SevereTerms.mkString("|")

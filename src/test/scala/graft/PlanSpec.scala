@@ -167,11 +167,11 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkTestBase {
     exchanges(operators.Curation.seqPackDocs(raw)) shouldBe 1
   }
 
-  test("toxicity gate is shuffle-free: three codegen'd AC passes, no join") {
+  test("toxicity gate is shuffle-free: one fused codegen'd AC pass, no join") {
     val df = operators.Toxicity.toxicity(spark, dir)
     val plan = executed(df)
     plan should not include "Join"
-    plan should include("ac_count")
+    plan should include("ac_tox")
   }
 
   test("quality model: scoring joins the weight table broadcast-only") {

@@ -246,6 +246,26 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("fused tox kernel == (severe any, mild count, combined scrub) chain") {
+    import graft.operators.Toxicity
+    val sev = Toxicity.SevereTerms
+    val mil = Toxicity.MildTerms
+    val sep = "\u0001"
+    val comb = graft.functions.AhoCorasick.automaton((sev ++ mil).mkString(sep))
+    val sevA = graft.functions.AhoCorasick.automaton(sev.mkString(sep))
+    val milA = graft.functions.AhoCorasick.automaton(mil.mkString(sep))
+    val frag = Gen.listOf(Gen.oneOf("damn", "DAMN stupid", "dumbo", "hateful",
+      "hate", "kill yourself", "die in a fire", "die in a", "crap-crap",
+      "e", " ", "-", "名", "moronic moron", "kill yourself damn")).map(_.mkString(" "))
+    val texts = (0 until 600).flatMap(i => frag(Gen.Parameters.default, Seed(4000L + i)))
+    (samples ++ texts).foreach { s =>
+      withClue(s"input: '$s'") {
+        comb.tox(s, sev.size, "[X]") shouldBe
+          ((sevA.any(s), milA.countMatches(s), comb.scrub(s, "[X]")))
+      }
+    }
+  }
+
   test("FingerprintMin kernel == brute min over 8-gram md5 prefixes") {
     (0 until 200).foreach { _ =>
       val s = (rng.alphanumeric.take(rng.nextInt(60)) ++ Seq.fill(rng.nextInt(4))('é')).mkString

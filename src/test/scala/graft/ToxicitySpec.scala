@@ -55,6 +55,16 @@ class ToxicitySpec extends AnyFunSuite with Matchers with SparkTestBase {
       words(200) + " just [TOX] already"
   }
 
+  test("fused kernel hash-equals the three-pass chain on the sf corpus") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val fused = Toxicity.toxicityDocs(docs)
+    val chain = Toxicity.toxicityDocsChain(docs)
+    fused.exceptAll(chain).count() shouldBe 0L
+    chain.exceptAll(fused).count() shouldBe 0L
+  }
+
   test("sf0.001 smoke: both tiers fire somewhere and survivors exist") {
     val df = Toxicity.toxicity(spark, "/root/testdata/sf0.001")
     df.filter("severe_hit").count() should be >= 1L
