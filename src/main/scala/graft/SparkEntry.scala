@@ -204,6 +204,9 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) => operators.Similarity.annLsh(s, dir)),
     "q_embed_neardup" -> ((s, dir) => operators.Similarity.embedNearDup(s, dir)),
     "q_embed_neardup_ivf" -> ((s, dir) => operators.Similarity.embedNearDupIvf(s, dir)),
+    // int8 scalar quantization (faiss SQ8 shape) + quantized-cosine ANN
+    "q_embed_quantize" -> (operators.Quantize.quantize _),
+    "q_ann_quantized" -> ((s, dir) => operators.Quantize.annQuantized(s, dir)),
     "q_ivf_cells" -> (operators.Similarity.ivfCells _),
     "q_ann_ivf" -> ((s, dir) => operators.Similarity.annIvf(s, dir)),
     // same operator at 2 Lloyd passes — proves the iteration
@@ -366,6 +369,8 @@ object SparkEntry {
     "q_c4_clean" -> operators.C4Quality.cleanOracle,
     "q_c4_span_dedup" -> operators.C4Quality.spanDedupOracle,
     "q_gopher_doc" -> operators.C4Quality.gopherDocOracle,
+    "q_embed_quantize" -> operators.Quantize.quantizeOracle,
+    "q_ann_quantized" -> operators.Quantize.annQuantizedOracle(),
     "q_quality_model" -> operators.QualityModel.distillOracle,
     "q_toxicity" -> operators.Toxicity.toxicityOracle,
     "q_decontaminate" -> operators.Curation.decontaminateOracle,
