@@ -97,8 +97,10 @@ object QualityModel {
     var b = 0L
     var bsum = 0L
     (1 to Epochs).foreach { _ =>
+      // consumed twice per epoch (weight delta + bias delta) — cache the
+      // slim (doc_id, y, m) frame instead of re-scoring the corpus
       val mis = margins(w, b)
-        .filter(s"doc_id % $HoldMod <> 0 AND y * m <= 0")
+        .filter(s"doc_id % $HoldMod <> 0 AND y * m <= 0").cache()
       val delta = mis.join(feats, "doc_id")
         .groupBy("bucket").agg(sum(col("y") * col("c")).cast("long").as("d"))
       w = w.join(delta, Seq("bucket"), "full_outer")
