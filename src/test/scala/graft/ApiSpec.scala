@@ -39,6 +39,21 @@ class ApiSpec extends AnyFunSuite with Matchers with SparkTestBase {
     overridden("output") shouldBe "/data/out" // file fills the rest
   }
 
+  test("CurateJob writes the shard-partitioned packed layout, same rows as the query") {
+    val out = java.nio.file.Files.createTempDirectory("graft_curate").toString
+    val n = graft.jobs.CurateJob.run(spark, "/root/testdata/sf0.001",
+      s"$out/packed", s"$out/stage")
+    n should be >= 1L
+    val packed = spark.read.parquet(s"$out/packed")
+    // shard survives as a partition column; rows match the pipeline query
+    packed.columns should contain("shard")
+    val direct = graft.operators.Curation.curatePipeline(spark, "/root/testdata/sf0.001")
+    packed.count() shouldBe direct.count()
+    packed.selectExpr("doc_id", "seq_id", "seq_offset")
+      .exceptAll(direct.selectExpr("doc_id", "seq_id", "seq_offset"))
+      .count() shouldBe 0L
+  }
+
   test("pii_scan and vader_compound are callable from SQL after registration") {
     GraftExtensions.register(spark)
     val rows = spark.sql(
