@@ -77,10 +77,14 @@ object TrainFilter {
       .select(col("doc_id"), col("keep").as("dedup_keep"), col("reason")))
     val g = stage("gopher",
       GopherQuality.quality(spark, dir).select("doc_id", "gopher_keep"))
+    // the two page-view legs derive from ONE staged enrichment instead
+    // of each rebuilding it (same rows — cleanOracle/gopherDocOracle
+    // construct the identical view; TrainFilterSpec hash-equality holds)
+    val pages = stage("pages", C4Quality.pageView(spark, dir))
     val gd = stage("gopherdoc",
-      C4Quality.gopherDoc(spark, dir).select("doc_id", "gopher_doc_keep"))
+      C4Quality.gopherDocPages(pages).select("doc_id", "gopher_doc_keep"))
     val c4 = stage("c4",
-      C4Quality.clean(spark, dir).select(col("doc_id"), col("page_keep").as("c4_keep")))
+      C4Quality.cleanPages(pages).select(col("doc_id"), col("page_keep").as("c4_keep")))
     val tx = stage("toxicity",
       Toxicity.toxicity(spark, dir).select("doc_id", "tox_keep"))
     compose(q, l, k, g, gd, c4, tx)
