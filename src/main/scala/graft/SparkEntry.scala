@@ -213,6 +213,8 @@ object SparkEntry {
     // parameterization cross-engine (the oracle CTE chain is generated
     // for the same iteration count)
     "q_ann_ivf2" -> ((s, dir) => operators.Similarity.annIvf(s, dir, iterations = 2)),
+    // faiss IVFSQ composition: coarse cell probe + int8 fine scoring
+    "q_ann_ivf_quantized" -> ((s, dir) => operators.Similarity.annIvfQuantized(s, dir)),
     // O1/O2: sort dispatch + limit (top-N: TakeOrderedAndProject)
     "q_recent_turns" -> ((s, dir) =>
       Verdict(transcripts(s, dir))
@@ -370,6 +372,7 @@ object SparkEntry {
     "q_c4_span_dedup" -> operators.C4Quality.spanDedupOracle,
     "q_gopher_doc" -> operators.C4Quality.gopherDocOracle,
     "q_embed_quantize" -> operators.Quantize.quantizeOracle,
+    "q_ann_ivf_quantized" -> operators.Similarity.annIvfQuantizedOracle(),
     "q_ann_quantized" -> operators.Quantize.annQuantizedOracle(),
     "q_quality_model" -> operators.QualityModel.distillOracle,
     "q_toxicity" -> operators.Toxicity.toxicityOracle,

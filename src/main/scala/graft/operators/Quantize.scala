@@ -80,7 +80,7 @@ object Quantize {
   /** The exact quantized-cosine expression over the joined
     * (corpus × query) columns — ONE fixed formula, written identically
     * in the oracle, so doubles agree to the bit. */
-  private val qcosSql: String = {
+  private[operators] val qcosSql: String = {
     val dot = "n * lo * q_lo + lo * q_s * q_sum + q_lo * s * s_sum + s * q_s * x"
     val nv = "n * lo * lo + 2 * lo * s * s_sum + s * s * s_sq"
     val nq = "n * q_lo * q_lo + 2 * q_lo * q_s * q_sum + q_s * q_s * q_sq"
@@ -105,8 +105,10 @@ object Quantize {
       .limit(k)
   }
 
-  def annQuantizedOracle(k: Int = 10): String =
-    s"""WITH mm AS (
+  /** The quantized-stats CTE chain (mm → qf → st), shared by the
+    * quantized-ANN oracles here and in [[Similarity]]. */
+  private[operators] val statsCtes: String =
+    s"""mm AS (
        |  SELECT vec_id, embedding,
        |    CAST(list_min(embedding) AS DOUBLE) AS lo,
        |    CAST(list_max(embedding) AS DOUBLE) AS hi
@@ -124,7 +126,10 @@ object Quantize {
        |    CAST(list_sum(codes) AS BIGINT) AS s_sum,
        |    CAST(list_sum(list_transform(codes, x -> x * x)) AS BIGINT) AS s_sq
        |  FROM qf
-       |), joined AS (
+       |)""".stripMargin
+
+  def annQuantizedOracle(k: Int = 10): String =
+    s"""WITH $statsCtes, joined AS (
        |  SELECT e.vec_id, e.lo, e.s, e.n, e.s_sum, e.s_sq,
        |    q.lo AS q_lo, q.s AS q_s, q.s_sum AS q_sum, q.s_sq AS q_sq,
        |    CAST(list_sum(list_transform(generate_series(1, e.n),

@@ -511,6 +511,67 @@ object Similarity {
        |FROM a1 x JOIN a1 y ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
        |WHERE round(${cosSql("x.embedding", "y.embedding")}, 6) >= $threshold""".stripMargin
 
+  /** q_ann_ivf_quantized — the faiss IVFSQ recipe composed from two
+    * proven parts: the IVF coarse probe selects nprobe cells, then the
+    * candidates are scored on their INT8-quantized vectors
+    * ([[Quantize]] sufficient statistics; exact integer cross-products,
+    * one fixed double combination). At 100 TB this is the standard
+    * production ANN shape: the float corpus never loads — only the
+    * cell-pruned quarter-width codes do. */
+  def annIvfQuantized(spark: SparkSession, dir: String, k: Int = 5,
+                      nprobe: Int = IvfNProbe, iterations: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions.{asc, broadcast, col, desc, round}
+    val e = Inputs.embeddings(spark, dir)
+    val (a1, rc, cbFloat) = ivfAssignment(spark, dir, iterations)
+    val q = e.filter("vec_id = 0").selectExpr("embedding AS qv")
+    val qcosExpr =
+      if (cbFloat) graft.functions.Cosine(col("qv"), col("cent"))
+      else graft.functions.Cosine.fd(col("qv"), col("cent"))
+    val qtop = rc.join(broadcast(q))
+      .select(col("cent_id"), round(qcosExpr, 6).as("qcos"))
+      .orderBy(desc("qcos"), asc("cent_id")).limit(nprobe)
+      .select("cent_id")
+    val f = Quantize.qframe(spark, dir)
+    val qq = f.filter("vec_id = 0").selectExpr("codes AS q_codes",
+      "lo AS q_lo", "s AS q_s", "s_sum AS q_sum", "s_sq AS q_sq")
+    val probed = a1.join(broadcast(qtop), "cent_id")
+      .filter("vec_id <> 0").select("vec_id")
+    f.join(probed, "vec_id")
+      .join(broadcast(qq))
+      .selectExpr("vec_id", "lo", "s", "n", "s_sum", "s_sq",
+        "q_lo", "q_s", "q_sum", "q_sq",
+        "aggregate(zip_with(codes, q_codes, (a, b) -> a * b), 0L, (acc, x) -> acc + x) AS x")
+      .selectExpr("vec_id", s"${Quantize.qcosSql} AS qcosine")
+      .orderBy(desc("qcosine"), asc("vec_id"))
+      .limit(k)
+  }
+
+  def annIvfQuantizedOracle(k: Int = 5, nprobe: Int = IvfNProbe,
+                            iterations: Int = 1): String =
+    s"""WITH ${ivfCteChain(iterations)},
+       |${Quantize.statsCtes},
+       |qv AS (
+       |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+       |), qtop AS (
+       |  SELECT r.cent_id FROM rcent r CROSS JOIN qv
+       |  ORDER BY round(${cosSql("r.cent", "qv.qv")}, 6) DESC, r.cent_id ASC
+       |  LIMIT $nprobe
+       |), probed AS (
+       |  SELECT a1.vec_id FROM a1 JOIN qtop ON qtop.cent_id = a1.cent_id
+       |  WHERE a1.vec_id <> 0
+       |), joined AS (
+       |  SELECT e.vec_id, e.lo, e.s, e.n, e.s_sum, e.s_sq,
+       |    q.lo AS q_lo, q.s AS q_s, q.s_sum AS q_sum, q.s_sq AS q_sq,
+       |    CAST(list_sum(list_transform(generate_series(1, e.n),
+       |      i -> e.codes[i] * q.codes[i])) AS BIGINT) AS x
+       |  FROM st e JOIN probed p ON p.vec_id = e.vec_id
+       |  CROSS JOIN (SELECT * FROM st WHERE vec_id = 0) q
+       |)
+       |SELECT vec_id, ${Quantize.qcosSql} AS qcosine
+       |FROM joined
+       |ORDER BY qcosine DESC, vec_id ASC
+       |LIMIT $k""".stripMargin
+
   def annIvfOracle(k: Int = 5, nprobe: Int = IvfNProbe,
                    iterations: Int = 1): String =
     s"""WITH ${ivfCteChain(iterations)},

@@ -30,4 +30,17 @@ class QuantizeSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .collect().map(_.getAs[Long]("vec_id")).toSet
     (exact intersect quant).size should be >= 8
   }
+
+  test("IVF+SQ8: quantization inside the probed cells loses nothing vs float IVF") {
+    // the composition must return the same candidates the float IVF
+    // ranks at the top, up to int8 rounding — assert against the
+    // FLOAT IVF result (same cells, same nprobe), not brute force, so
+    // coarse-probe recall doesn't confound the quantization question
+    val dir = "/root/testdata/sf0.001"
+    val ivf = Similarity.annIvf(spark, dir)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val ivfq = Similarity.annIvfQuantized(spark, dir)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    (ivf intersect ivfq).size should be >= 4 // k = 5
+  }
 }
