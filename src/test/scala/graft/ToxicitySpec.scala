@@ -65,6 +65,27 @@ class ToxicitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     chain.exceptAll(fused).count() shouldBe 0L
   }
 
+  test("ac_tox and ac_count emit valid codegen (CODEGEN_ONLY, no fallback)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sessionState.conf
+    val saved = Seq("spark.sql.codegen.fallback", "spark.sql.codegen.factoryMode")
+      .map(k => k -> conf.getConfString(k, null))
+    try {
+      conf.setConfString("spark.sql.codegen.fallback", "false")
+      conf.setConfString("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val df = Seq("oh CRAP what a dumb MORON thing", "benign", "")
+        .toDF("t")
+        .select(
+          graft.functions.AhoCorasick.tox(col("t"),
+            Toxicity.SevereTerms, Toxicity.MildTerms, "[TOX]").as("x"),
+          graft.functions.AhoCorasick.count(col("t"), Toxicity.MildTerms).as("c"))
+      df.selectExpr("x.mild_hits + c").collect().map(_.getInt(0)).sum shouldBe 6
+    } finally saved.foreach { case (k, v) =>
+      if (v == null) conf.unsetConf(k) else conf.setConfString(k, v)
+    }
+  }
+
   test("sf0.001 smoke: both tiers fire somewhere and survivors exist") {
     val df = Toxicity.toxicity(spark, "/root/testdata/sf0.001")
     df.filter("severe_hit").count() should be >= 1L
