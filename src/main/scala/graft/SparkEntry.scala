@@ -203,6 +203,8 @@ object SparkEntry {
     "q_lsh_buckets" -> (operators.Similarity.lshBuckets _),
     "q_ann_lsh" -> ((s, dir) => operators.Similarity.annLsh(s, dir)),
     "q_embed_neardup" -> ((s, dir) => operators.Similarity.embedNearDup(s, dir)),
+    // embedding dedup end to end: banded pairs -> big-star components
+    "q_embed_dup_clusters" -> ((s, dir) => operators.Similarity.embedDupClusters(s, dir)),
     "q_embed_neardup_ivf" -> ((s, dir) => operators.Similarity.embedNearDupIvf(s, dir)),
     // int8 scalar quantization (faiss SQ8 shape) + quantized-cosine ANN
     "q_embed_quantize" -> (operators.Quantize.quantize _),
@@ -373,6 +375,7 @@ object SparkEntry {
     "q_gopher_doc" -> operators.C4Quality.gopherDocOracle,
     "q_embed_quantize" -> operators.Quantize.quantizeOracle,
     "q_ann_ivf_quantized" -> operators.Similarity.annIvfQuantizedOracle(),
+    "q_embed_dup_clusters" -> operators.Similarity.embedDupClustersOracle(),
     "q_ann_quantized" -> operators.Quantize.annQuantizedOracle(),
     "q_quality_model" -> operators.QualityModel.distillOracle,
     "q_toxicity" -> operators.Toxicity.toxicityOracle,

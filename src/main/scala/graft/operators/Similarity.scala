@@ -270,6 +270,44 @@ object Similarity {
        |JOIN embeddings b ON b.vec_id = p.b_id
        |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= $threshold""".stripMargin
 
+  /** q_embed_dup_clusters — embedding dedup taken END to end: the
+    * LSH-banded near-dup pairs collapse to connected components via
+    * the same O(log n) large-star/small-star contraction the text
+    * pipeline uses ([[Dedup.connectedComponents]]), labeling every
+    * participating vector with its component min. Singletons (vectors
+    * with no near-dup) are deliberately absent: at 100 TB the pair
+    * graph is sparse and the join back to the corpus is the consumer's
+    * one equi-join ([[Dedup.keepList]] shape). */
+  def embedDupClusters(spark: SparkSession, dir: String,
+                       threshold: Double = 0.3): DataFrame =
+    Dedup.connectedComponents(
+      embedNearDup(spark, dir, threshold).select("a_id", "b_id"))._1
+      .withColumnRenamed("doc_id", "vec_id")
+
+  def embedDupClustersOracle(threshold: Double = 0.3): String =
+    s"""WITH RECURSIVE $bandedTablesCte,
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+       |  FROM banded x JOIN banded y
+       |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |), cpair AS (
+       |  SELECT p.a_id, p.b_id
+       |  FROM cand p
+       |  JOIN embeddings a ON a.vec_id = p.a_id
+       |  JOIN embeddings b ON b.vec_id = p.b_id
+       |  WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= $threshold
+       |), edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM cpair
+       |  UNION
+       |  SELECT b_id AS src, a_id AS dst FROM cpair
+       |), reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+       |)
+       |SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+       |FROM reach GROUP BY src""".stripMargin
+
   /** IVF centroid ids: a deterministic coarse codebook — corpus vectors
     * 1..16 stand in for trained k-means centroids (training is an
     * offline concern; the operator shape — assign to nearest centroid,

@@ -251,6 +251,18 @@ class OperatorsSpec extends AnyFunSuite with Matchers with SparkTestBase {
     a shouldBe b
   }
 
+  test("embedding dup clusters: labels cover exactly the near-dup pair nodes") {
+    val pairs = graft.operators.Similarity.embedNearDup(spark, dir).collect()
+    val nodes = pairs.flatMap(r =>
+      Seq(r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val labels = graft.operators.Similarity.embedDupClusters(spark, dir)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    labels.keySet shouldBe nodes
+    // every cluster id is its own cluster's min member and a real node
+    labels.values.foreach(c => labels(c) shouldBe c)
+    labels.foreach { case (v, c) => c should be <= v }
+  }
+
   test("IVF with refinement: recall climbs with nprobe (RecallProbe curve points)") {
     val brute = Similarity.annTopK(spark, dir, k = 5)
       .collect().map(_.getLong(0)).toSet
