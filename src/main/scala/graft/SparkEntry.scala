@@ -276,6 +276,8 @@ object SparkEntry {
     "q_mix_sample" -> (operators.Curation.mixSample _),
     // concat-and-chunk packing into fixed-length training sequences
     "q_seq_pack" -> (operators.Curation.seqPack _),
+    // realized-mixture audit: kept tokens vs target rate per source
+    "q_mix_audit" -> (operators.Curation.mixAudit _),
     // the capstone: 7-leg filter -> mixture sample -> sequence pack,
     // documents in, packed training sequences out, one nested oracle
     "q_curate_pipeline" -> (operators.Curation.curatePipeline _),
@@ -382,6 +384,7 @@ object SparkEntry {
     "q_decontaminate" -> operators.Curation.decontaminateOracle,
     "q_mix_sample" -> operators.Curation.mixSampleOracle,
     "q_seq_pack" -> operators.Curation.seqPackOracle,
+    "q_mix_audit" -> operators.Curation.mixAuditOracle,
     "q_curate_pipeline" -> operators.Curation.curatePipelineOracle,
     "q_token_count" -> operators.TextStats.tokenCountOracle,
     "q_scrub_keywords" -> operators.TextStats.scrubKeywordsOracle,

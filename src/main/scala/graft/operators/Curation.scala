@@ -159,6 +159,30 @@ object Curation {
        |  ((('0x' || substr(md5('mix' || CAST(b.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000) / 10000.0) < r.rate AS keep
        |FROM base b JOIN r USING (source)""".stripMargin
 
+  /** q_mix_audit: the realized sample vs the target rates, per source
+    * — the post-hoc check a pipeline runs before committing a mixture
+    * (kept tokens, realized fraction vs the rate the weights implied).
+    * Rates capped at 1.0 leave their excess budget UNredistributed (by
+    * design — redistribution would make rates data-dependent across
+    * sources); the audit is what makes that visible. */
+  def mixAudit(spark: SparkSession, dir: String): DataFrame =
+    mixSample(spark, dir).groupBy("source").agg(
+        max("src_toks").cast("long").as("src_toks"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L)).cast("long").as("kept_toks"),
+        max("rate").as("rate"))
+      .selectExpr("source", "src_toks", "kept_toks", "rate",
+        "round(kept_toks / CAST(src_toks AS DOUBLE), 6) AS realized_frac")
+
+  def mixAuditOracle: String =
+    s"""WITH m AS (
+       |$mixSampleOracle
+       |)
+       |SELECT source, CAST(max(src_toks) AS BIGINT) AS src_toks,
+       |  CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS kept_toks,
+       |  max(rate) AS rate,
+       |  round(sum(CASE WHEN keep THEN n_tok ELSE 0 END) / CAST(max(src_toks) AS DOUBLE), 6) AS realized_frac
+       |FROM m GROUP BY source""".stripMargin
+
   // ---- sequence packing (concat-and-chunk) -------------------------
 
   /** Training sequence length in whitespace tokens. */

@@ -88,6 +88,20 @@ class CurationSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(1L) shouldBe ((1, 10L, 0L, 0, 1))
   }
 
+  test("sf0.001 mix audit: realized fractions bounded, caps visible") {
+    val rows = Curation.mixAudit(spark, "/root/testdata/sf0.001").collect()
+    rows.foreach { r =>
+      r.getAs[Long]("kept_toks") should be <= r.getAs[Long]("src_toks")
+      r.getAs[Double]("realized_frac") should (be >= 0.0 and be <= 1.0)
+    }
+    // head sources (src0/src1) are rate-capped at 1.0 on this corpus
+    val capped = rows.filter(_.getAs[Double]("rate") == 1.0)
+    capped.map(_.getAs[String]("source")).toSet should contain allOf ("src0", "src1")
+    // a capped source keeps everything
+    capped.foreach(r =>
+      r.getAs[Long]("kept_toks") shouldBe r.getAs[Long]("src_toks"))
+  }
+
   test("sf0.001 curate pipeline: survivors only, all invariants hold") {
     val dir = "/root/testdata/sf0.001"
     val out = Curation.curatePipeline(spark, dir).collect()
