@@ -7,16 +7,19 @@ import org.apache.spark.sql.functions._
  * The composed corpus-curation decision — what a training-data pipeline
  * actually materializes per document: quality gate × language gate ×
  * Gopher repetition gate × Gopher document gate × C4 page gate ×
- * toxicity gate × dedup keep-list joined into one `train_keep` flag
- * with the reasons alongside. Each leg is an already-oracle-proven
- * operator ([[TextStats.quality]], [[LangIdModel.predict]],
- * [[GopherQuality.quality]], [[C4Quality.gopherDoc]],
- * [[C4Quality.clean]], [[Toxicity.toxicity]], [[Dedup.keepList]]);
+ * toxicity gate × benchmark-decontamination gate × dedup keep-list
+ * joined into one `train_keep` flag with the reasons alongside. Each
+ * leg is an already-oracle-proven operator ([[TextStats.quality]],
+ * [[LangIdModel.predict]], [[GopherQuality.quality]],
+ * [[C4Quality.gopherDoc]], [[C4Quality.clean]],
+ * [[Toxicity.toxicity]], [[Curation.decontaminate]] — eval-split docs
+ * and docs sharing a 13-gram with them both leave the training set —
+ * [[Dedup.keepList]]);
  * this query proves they COMPOSE — the DuckDB twin nests each leg's
  * full SQL (including the keep-list's recursive CTE, the Gopher window
  * chain, and the C4 enrichment + line rules) and must still hash-match.
  *
- * Scale shape: seven doc_id-keyed equi-joins of corpus-sized frames —
+ * Scale shape: eight doc_id-keyed equi-joins of corpus-sized frames —
  * at production scale these co-partition on doc_id (one shuffle each,
  * or zero with bucketed tables); no leg introduces anything beyond its
  * own audited plan.
@@ -27,14 +30,15 @@ object TrainFilter {
 
   private def compose(q: DataFrame, l: DataFrame, k: DataFrame,
                       g: DataFrame, gd: DataFrame, c4: DataFrame,
-                      tx: DataFrame): DataFrame =
+                      tx: DataFrame, dc: DataFrame): DataFrame =
     q.join(l, "doc_id").join(k, "doc_id").join(g, "doc_id")
       .join(gd, "doc_id").join(c4, "doc_id").join(tx, "doc_id")
+      .join(dc, "doc_id")
       .selectExpr("doc_id",
         s"pass AND lang_pred = '$KeepLang' AND dedup_keep AND gopher_keep" +
-          " AND gopher_doc_keep AND c4_keep AND tox_keep AS train_keep",
+          " AND gopher_doc_keep AND c4_keep AND tox_keep AND decon_keep AS train_keep",
         "quality_score", "lang_pred", "gopher_keep", "gopher_doc_keep",
-        "c4_keep", "tox_keep", "reason")
+        "c4_keep", "tox_keep", "decon_keep", "reason")
 
   /** Composition PROOF shape: one declarative query re-deriving every
     * leg from the raw corpus, with an exact nested SQL twin. Use this
@@ -52,7 +56,9 @@ object TrainFilter {
     val c4 = C4Quality.clean(spark, dir)
       .select(col("doc_id"), col("page_keep").as("c4_keep"))
     val tx = Toxicity.toxicity(spark, dir).select("doc_id", "tox_keep")
-    compose(q, l, k, g, gd, c4, tx)
+    val dc = Curation.decontaminate(spark, dir)
+      .selectExpr("doc_id", "NOT is_eval AND NOT contaminated AS decon_keep")
+    compose(q, l, k, g, gd, c4, tx, dc)
   }
 
   /** Production shape: each leg is computed ONCE, written to a staging
@@ -87,10 +93,12 @@ object TrainFilter {
       C4Quality.cleanPages(pages).select(col("doc_id"), col("page_keep").as("c4_keep")))
     val tx = stage("toxicity",
       Toxicity.toxicity(spark, dir).select("doc_id", "tox_keep"))
-    compose(q, l, k, g, gd, c4, tx)
+    val dc = stage("decontam", Curation.decontaminate(spark, dir)
+      .selectExpr("doc_id", "NOT is_eval AND NOT contaminated AS decon_keep"))
+    compose(q, l, k, g, gd, c4, tx, dc)
   }
 
-  /** The seven legs' oracles nested as CTE bodies + the same joins. */
+  /** The eight legs' oracles nested as CTE bodies + the same joins. */
   def trainFilterOracle: String =
     s"""WITH q AS (
        |${TextStats.qualityOracle}
@@ -106,17 +114,22 @@ object TrainFilter {
        |${C4Quality.cleanOracle}
        |), tx AS (
        |${Toxicity.toxicityOracle}
+       |), dc AS (
+       |${Curation.decontaminateOracle}
        |)
        |SELECT q.doc_id,
        |  (q.pass AND l.lang_pred = '$KeepLang' AND k.keep AND g.gopher_keep
-       |   AND gd.gopher_doc_keep AND c4.page_keep AND tx.tox_keep) AS train_keep,
+       |   AND gd.gopher_doc_keep AND c4.page_keep AND tx.tox_keep
+       |   AND NOT dc.is_eval AND NOT dc.contaminated) AS train_keep,
        |  q.quality_score, l.lang_pred, g.gopher_keep,
-       |  gd.gopher_doc_keep, c4.page_keep AS c4_keep, tx.tox_keep, k.reason
+       |  gd.gopher_doc_keep, c4.page_keep AS c4_keep, tx.tox_keep,
+       |  (NOT dc.is_eval AND NOT dc.contaminated) AS decon_keep, k.reason
        |FROM q
        |JOIN l ON l.doc_id = q.doc_id
        |JOIN k ON k.doc_id = q.doc_id
        |JOIN g ON g.doc_id = q.doc_id
        |JOIN gd ON gd.doc_id = q.doc_id
        |JOIN c4 ON c4.doc_id = q.doc_id
-       |JOIN tx ON tx.doc_id = q.doc_id""".stripMargin
+       |JOIN tx ON tx.doc_id = q.doc_id
+       |JOIN dc ON dc.doc_id = q.doc_id""".stripMargin
 }
