@@ -278,7 +278,7 @@ object SparkEntry {
     "q_seq_pack" -> (operators.Curation.seqPack _),
     // realized-mixture audit: kept tokens vs target rate per source
     "q_mix_audit" -> (operators.Curation.mixAudit _),
-    // the capstone: 7-leg filter -> mixture sample -> sequence pack,
+    // the capstone: 8-leg filter -> mixture sample -> sequence pack,
     // documents in, packed training sequences out, one nested oracle
     "q_curate_pipeline" -> (operators.Curation.curatePipeline _),
     "q_token_count" -> (operators.TextStats.tokenCount _),

@@ -5,7 +5,7 @@ import graft.operators.{Curation, TrainFilter}
 
 /**
  * spark-submit driver for the corpus-curation pipeline (see DEPLOY.md):
- * stages the seven filter legs once (the resumable production shape —
+ * stages the eight filter legs once (the resumable production shape —
  * a re-run reuses nothing-lost staging parquet), then writes the
  * packed-sequence layout of the filtered + mixture-sampled corpus,
  * partitioned by pack shard so each output file is one writer's

@@ -221,7 +221,7 @@ object Curation {
   // ---- the full curation pipeline, end to end --------------------
 
   /** q_curate_pipeline: documents in, packed training sequences out —
-    * the whole corpus-curation chain composed: the seven-leg
+    * the whole corpus-curation chain composed: the eight-leg
     * [[TrainFilter]] decision prunes the corpus, [[mixSample]]
     * realizes the mixture weights against the token budget of the
     * SURVIVING corpus (rates are computed post-filter, as a real
