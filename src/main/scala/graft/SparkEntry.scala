@@ -19,6 +19,33 @@ object SparkEntry {
   private def transcripts(s: SparkSession, dir: String): DataFrame =
     Transcripts.fromDocuments(s, dir)
 
+  /** Per-invocation nonce'd /tmp staging dir for the staged-shape
+    * queries. The nonce keeps SIMULTANEOUS invocations (concurrent
+    * Verify + Bench, or a bench re-pass) from clobbering each other's
+    * staging writes; every dir is registered for recursive deletion at
+    * JVM exit so repeated sweeps don't accumulate staged corpus copies
+    * in /tmp (r5 advice). Deletion can't happen earlier — the returned
+    * query is lazy and reads the staged parquet when the CALLER runs
+    * its action. */
+  private val stageDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  sys.addShutdownHook {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    stageDirs.asScala.foreach { d =>
+      val root = Path.of(d)
+      if (Files.exists(root))
+        Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+  private def noncedStageDir(prefix: String, dir: String): String = {
+    val p = s"${sys.props("java.io.tmpdir")}/${prefix}_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") +
+      s"_${java.util.UUID.randomUUID().toString.take(8)}"
+    stageDirs.add(p)
+    p
+  }
+
   /** Verdict pipeline plus the diagnostic fp/boost flags and per-type
     * match counts the oracle checks. */
   private def scored(s: SparkSession, dir: String): DataFrame = {
@@ -184,14 +211,11 @@ object SparkEntry {
     "q_dedup_keeplist" -> (operators.Dedup.keepList _),
     // quality x language x dedup composed into the per-doc curation flag
     "q_train_filter" -> (operators.TrainFilter.trainFilter _),
-    // production shape: legs staged to parquet once, then joined. The
-    // stage dir carries a per-invocation nonce so concurrent runs over
-    // the same sf (Verify + Bench, or a bench re-pass) can never clobber
-    // each other's staging writes (r4 verdict nit #3)
+    // production shape: legs staged to parquet once, then joined
+    // (nonce'd dir: see noncedStageDir)
     "q_train_filter_staged" -> ((s, dir) =>
       operators.TrainFilter.trainFilterStaged(s, dir,
-        s"${sys.props("java.io.tmpdir")}/graft_stage_${dir.replaceAll("[^A-Za-z0-9.]", "_")}" +
-          s"_${java.util.UUID.randomUUID().toString.take(8)}")),
+        noncedStageDir("graft_stage", dir))),
     "q_sample_stratified" -> (operators.TextStats.sampleStratified _),
     "q_jaccard_adjacent" -> (operators.Dedup.jaccardAdjacent _),
     "q_simhash" -> (operators.Dedup.simhash _),
@@ -281,6 +305,13 @@ object SparkEntry {
     // the capstone: 8-leg filter -> mixture sample -> sequence pack,
     // documents in, packed training sequences out, one nested oracle
     "q_curate_pipeline" -> (operators.Curation.curatePipeline _),
+    // the capstone's PRODUCTION shape (what CurateJob runs at 100 TB):
+    // filter legs + surviving corpus staged to parquet once, then
+    // mixture sample + pack over the slim staged frames. Same rows,
+    // same nested oracle — staging only changes where legs are paid for
+    "q_curate_pipeline_staged" -> ((s, dir) =>
+      operators.Curation.curatePipelineStaged(s, dir,
+        noncedStageDir("graft_curate_stage", dir))),
     "q_token_count" -> (operators.TextStats.tokenCount _),
     // codegen'd multi-pattern Aho-Corasick keyword scrub
     "q_scrub_keywords" -> (operators.TextStats.scrubKeywords _),
@@ -386,6 +417,7 @@ object SparkEntry {
     "q_seq_pack" -> operators.Curation.seqPackOracle,
     "q_mix_audit" -> operators.Curation.mixAuditOracle,
     "q_curate_pipeline" -> operators.Curation.curatePipelineOracle,
+    "q_curate_pipeline_staged" -> operators.Curation.curatePipelineOracle, // identical rows — staging only changes where legs are paid for
     "q_token_count" -> operators.TextStats.tokenCountOracle,
     "q_scrub_keywords" -> operators.TextStats.scrubKeywordsOracle,
     "q_fingerprint" -> operators.TextStats.fingerprintOracle,

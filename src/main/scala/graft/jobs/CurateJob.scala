@@ -1,7 +1,7 @@
 package graft.jobs
 
 import org.apache.spark.sql.SparkSession
-import graft.operators.{Curation, TrainFilter}
+import graft.operators.Curation
 
 /**
  * spark-submit driver for the corpus-curation pipeline (see DEPLOY.md):
@@ -12,7 +12,16 @@ import graft.operators.{Curation, TrainFilter}
  * contiguous token stream.
  *
  *   spark-submit --class graft.jobs.CurateJob engine.jar \
- *     --input /path/sfdir --output /path/curated [--stage /path/stage]
+ *     --input /path/sfdir --output /path/curated \
+ *     [--stage /path/stage] [--shards N] [--eval /path/benchmarks.parquet]
+ *
+ * `--stage` defaults to a SIBLING of the output (`<output>_stage`),
+ * never a child: the final overwrite deletes the whole output path
+ * before the pack query runs, so a stage dir underneath it would be
+ * deleted mid-job ([[run]] rejects that shape outright). `--shards`
+ * sets the pack-shard count (≫ executor cores in deployment);
+ * `--eval` points decontamination at a real benchmark parquet (any
+ * `text` column) instead of the held-out split.
  *
  * Accepts the same `--config job.properties` mechanism as [[ScrubJob]]
  * (CLI flags override file values).
@@ -24,7 +33,8 @@ object CurateJob {
     val input = opts.getOrElse("input",
       sys.error("--input <sf dir with documents.parquet> is required"))
     val output = opts.getOrElse("output", sys.error("--output <dir> is required"))
-    val stage = opts.getOrElse("stage", s"$output/_stage")
+    val stage = opts.getOrElse("stage", s"${output.stripSuffix("/")}_stage")
+    val shards = opts.get("shards").map(_.toInt).getOrElse(Curation.PackShards)
 
     val builder = SparkSession.builder()
       .appName("graft-curate")
@@ -34,21 +44,21 @@ object CurateJob {
                  else builder.master("local[*]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val n = run(spark, input, output, stage)
-    println(s"[curate] packed rows=$n output=$output stage=$stage")
+    val n = run(spark, input, output, stage, shards, opts.get("eval"))
+    println(s"[curate] packed rows=$n output=$output stage=$stage shards=$shards")
     spark.stop()
   }
 
   /** The job body (main minus session lifecycle — testable). */
-  def run(spark: SparkSession, input: String, output: String,
-          stage: String): Long = {
-    import org.apache.spark.sql.functions.col
-    val kept = TrainFilter.trainFilterStaged(spark, input, stage)
-      .filter(col("train_keep")).select("doc_id")
-    val docs = graft.operators.Inputs.documents(spark, input).join(kept, "doc_id")
-    val sampled = Curation.mixSampleDocs(docs)
-      .filter(col("keep")).select("doc_id")
-    Curation.seqPackDocs(docs.join(sampled, "doc_id"))
+  def run(spark: SparkSession, input: String, output: String, stage: String,
+          shards: Int = Curation.PackShards,
+          evalPath: Option[String] = None): Long = {
+    val outNorm = output.stripSuffix("/")
+    require(stage != outNorm && !stage.startsWith(outNorm + "/"),
+      s"--stage must not be the output or under it (stage=$stage output=$output): " +
+        "the final overwrite would delete the staged legs before the pack query reads them")
+    val evalGrams = evalPath.map(p => Curation.evalGramsOf(spark.read.parquet(p)))
+    Curation.curatePipelineStaged(spark, input, stage, shards, evalGrams)
       .write.mode("overwrite").partitionBy("shard").parquet(output)
     spark.read.parquet(output).count()
   }

@@ -50,13 +50,29 @@ object Curation {
   def decontaminate(spark: SparkSession, dir: String): DataFrame =
     decontaminateDocs(Inputs.documents(spark, dir))
 
-  /** The computation over any (doc_id, text) frame (spec entry). */
-  def decontaminateDocs(docs: DataFrame): DataFrame = {
+  /** The distinct hashed 13-gram set of an external benchmark frame
+    * (anything with a `text` column) — the production eval side, where
+    * the contamination check runs against real benchmark files instead
+    * of the held-out split. Stays tiny (benchmarks are MBs) so the
+    * downstream join still broadcasts. */
+  def evalGramsOf(bench: DataFrame): DataFrame =
+    gramSets(bench.selectExpr("monotonically_increasing_id() AS doc_id", "text"))
+      .selectExpr("explode(grams) AS gram")
+
+  /** The computation over any (doc_id, text) frame (spec entry). When
+    * `extEvalGrams` is given (a 1-column `gram` frame, see
+    * [[evalGramsOf]]) the overlap runs against IT instead of the
+    * held-out split, and no corpus doc is `is_eval`. */
+  def decontaminateDocs(docs: DataFrame,
+                        extEvalGrams: Option[DataFrame] = None): DataFrame = {
     val g = gramSets(docs)
-    val ev = g.filter(s"doc_id % $EvalMod = 0")
-      .selectExpr("explode(grams) AS gram").distinct()
+    val ev = extEvalGrams.getOrElse(
+        g.filter(s"doc_id % $EvalMod = 0").selectExpr("explode(grams) AS gram"))
+      .select("gram").distinct()
       .withColumn("hit", lit(1))
-    g.selectExpr("doc_id", s"doc_id % $EvalMod = 0 AS is_eval",
+    val isEval =
+      if (extEvalGrams.isDefined) "false" else s"doc_id % $EvalMod = 0"
+    g.selectExpr("doc_id", s"$isEval AS is_eval",
         "explode_outer(grams) AS gram")
       .join(broadcast(ev), Seq("gram"), "left")
       .groupBy("doc_id", "is_eval")
@@ -129,7 +145,9 @@ object Curation {
            |  / CAST(w_sum * src_toks AS DOUBLE), 6)) AS rate""".stripMargin)
     base.join(broadcast(rates), "source")
       .selectExpr("doc_id", "source", "n_tok", "src_toks", "rate",
-        "((CAST(conv(substr(md5(concat('mix', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 10000) / 10000.0) < rate AS keep")
+        // modulus matches the 6-dp rate resolution: rates differing at
+        // the 6th decimal stay distinguishable (r5 advice)
+        "((CAST(conv(substr(md5(concat('mix', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000000) / 1000000.0) < rate AS keep")
   }
 
   def mixSampleOracle: String = mixSampleOracleOn("documents")
@@ -156,7 +174,7 @@ object Curation {
        |  FROM s, t
        |)
        |SELECT b.doc_id, b.source, b.n_tok, r.src_toks, r.rate,
-       |  ((('0x' || substr(md5('mix' || CAST(b.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000) / 10000.0) < r.rate AS keep
+       |  ((('0x' || substr(md5('mix' || CAST(b.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000) / 1000000.0) < r.rate AS keep
        |FROM base b JOIN r USING (source)""".stripMargin
 
   /** q_mix_audit: the realized sample vs the target rates, per source
@@ -187,11 +205,13 @@ object Curation {
 
   /** Training sequence length in whitespace tokens. */
   val SeqLen = 512
-  /** Packing shards. Documents are packed independently per shard —
-    * the unit a real pipeline maps to one output writer — so the
-    * running-offset window parallelizes across shards. At 100 TB the
-    * shard count is set ≫ executor cores; doc_id % N keeps shards
-    * uniform, so no shard straggles (the skewed-partition case is what
+  /** Default packing shard count (the oracle's). Documents are packed
+    * independently per shard — the unit a real pipeline maps to one
+    * output writer — so the running-offset window parallelizes across
+    * shards. At 100 TB a deployment passes shards ≫ executor cores
+    * ([[seqPackDocs]] takes it as a parameter; CurateJob exposes
+    * `--shards`); doc_id % N keeps shards uniform, so no shard
+    * straggles (the skewed-partition case is what
     * Conversation.runningStateSalted solves; packing never needs it
     * because the shard key is chosen, not data-given). */
   val PackShards = 16
@@ -205,11 +225,11 @@ object Curation {
     seqPackDocs(Inputs.documents(spark, dir))
 
   /** The computation over any (doc_id, text) frame (spec entry). */
-  def seqPackDocs(docs: DataFrame): DataFrame = {
+  def seqPackDocs(docs: DataFrame, shards: Int = PackShards): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
-      .selectExpr("doc_id", s"CAST(doc_id % $PackShards AS INT) AS shard",
+      .selectExpr("doc_id", s"CAST(doc_id % $shards AS INT) AS shard",
         "size(split(text, '\\\\s+')) AS n_tok")
       .withColumn("cum_tok", sum("n_tok").over(w))
       .selectExpr("doc_id", "shard", "n_tok", "cum_tok",
@@ -239,6 +259,28 @@ object Curation {
     seqPackDocs(docs.join(sampled, "doc_id"))
   }
 
+  /** Production shape of the capstone (what [[graft.jobs.CurateJob]]
+    * runs): the filter legs materialize once via
+    * [[TrainFilter.trainFilterStaged]], the SURVIVING corpus is staged
+    * once more (so the mixture aggregate and the pack window both read
+    * slim parquet instead of re-deriving the 8-way join), then
+    * mixture-sample + pack. Same rows as [[curatePipeline]]
+    * (CurationSpec asserts hash-equality; same nested oracle) — staging
+    * only changes where the legs are paid for. `shards`/`evalGrams`
+    * are the deployment knobs (CurateJob `--shards` / `--eval`). */
+  def curatePipelineStaged(spark: SparkSession, dir: String, stageDir: String,
+                           shards: Int = PackShards,
+                           evalGrams: Option[DataFrame] = None): DataFrame = {
+    val kept = TrainFilter.trainFilterStaged(spark, dir, s"$stageDir/legs", evalGrams)
+      .filter(col("train_keep")).select("doc_id")
+    val keptPath = s"$stageDir/kept"
+    Inputs.documents(spark, dir).join(kept, "doc_id")
+      .write.mode("overwrite").parquet(keptPath)
+    val docs = spark.read.parquet(keptPath)
+    val sampled = mixSampleDocs(docs).filter(col("keep")).select("doc_id")
+    seqPackDocs(docs.join(sampled, "doc_id"), shards)
+  }
+
   def curatePipelineOracle: String =
     s"""WITH tf AS (
        |${TrainFilter.trainFilterOracle}
@@ -256,9 +298,9 @@ object Curation {
   def seqPackOracle: String = seqPackOracleOn("documents")
 
   /** The oracle over any table/CTE with (doc_id, text). */
-  def seqPackOracleOn(table: String): String =
+  def seqPackOracleOn(table: String, shards: Int = PackShards): String =
     s"""WITH base AS (
-       |  SELECT doc_id, CAST(doc_id % $PackShards AS INT) AS shard,
+       |  SELECT doc_id, CAST(doc_id % $shards AS INT) AS shard,
        |    CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS n_tok
        |  FROM $table
        |), c AS (

@@ -27,14 +27,19 @@ object Perplexity {
     val toks = Inputs.documents(spark, dir)
       .selectExpr("doc_id", "split(lower(text), '\\\\s+') AS t")
       .filter("size(t) >= 2")
+    // the token view feeds both model builds and the scoring side;
+    // cache it for the two eager model materializations below, then
+    // release — the checkpointed model tables carry the reuse from
+    // there, so no cached blocks outlive this call (sweep hygiene)
     toks.cache()
     val words = toks.selectExpr("doc_id", "explode(t) AS w")
-    val uni = words.groupBy("w").agg(count(lit(1)).as("c1"))
+    val uni = words.groupBy("w").agg(count(lit(1)).as("c1")).localCheckpoint()
     val vocab = uni.agg(count(lit(1)).as("v"))
     val bigrams = toks.selectExpr("doc_id",
         "explode(transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))) AS bg")
       .selectExpr("doc_id", "bg.w1 AS w1", "bg.w2 AS w2")
-    val big = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val big = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2")).localCheckpoint()
+    toks.unpersist()
     bigrams
       .join(big, Seq("w1", "w2"))
       .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))

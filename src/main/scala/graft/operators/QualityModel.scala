@@ -111,7 +111,14 @@ object QualityModel {
         .localCheckpoint()
       b += mis.agg(coalesce(sum("y"), lit(0L)).cast("long")).head().getLong(0)
       bsum += b
+      // both consumers (delta's localCheckpoint, the bias sum) have run
+      mis.unpersist()
     }
+    // the final scoring pass reads feats exactly once, so the epoch
+    // cache buys it nothing — release it before handing back the lazy
+    // frame (a long-lived session sweeping many queries otherwise
+    // accumulates storage across invocations)
+    feats.unpersist()
     margins(wsum, bsum)
       .selectExpr("doc_id", "m AS margin", "m > 0 AS model_pass",
         "y = 1 AS heur_pass", s"doc_id % $HoldMod = 0 AS holdout",

@@ -69,9 +69,25 @@ object TrainFilter {
     * recomputing. Same rows as [[trainFilter]] (TrainFilterSpec asserts
     * hash-equality; same oracle SQL). At cluster scale the staging dir
     * is a real table (Iceberg/bucketed parquet on doc_id) and the
-    * final joins co-partition without a shuffle. */
-  def trainFilterStaged(spark: SparkSession, dir: String, stageDir: String): DataFrame = {
-    def stage(name: String, df: DataFrame): DataFrame = {
+    * final joins co-partition without a shuffle.
+    *
+    * The independent legs' stage writes are SUBMITTED CONCURRENTLY
+    * (Futures over the shared session — each write is a blocking
+    * driver action, and serializing eight of them left the cluster
+    * idle between jobs; the scheduler interleaves their stages). Only
+    * the two page legs wait, on the shared page-view staging they
+    * derive from.
+    *
+    * `evalGrams` (see [[Curation.evalGramsOf]]) switches the
+    * decontamination leg from the held-out split to a real benchmark
+    * gram set — the production knob (CurateJob `--eval`); default None
+    * keeps the oracle-checked split semantics. */
+  def trainFilterStaged(spark: SparkSession, dir: String, stageDir: String,
+                        evalGrams: Option[DataFrame] = None): DataFrame = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    def stage(name: String, df: => DataFrame): Future[DataFrame] = Future {
       val p = s"$stageDir/$name"
       df.write.mode("overwrite").parquet(p)
       spark.read.parquet(p)
@@ -87,15 +103,18 @@ object TrainFilter {
     // of each rebuilding it (same rows — cleanOracle/gopherDocOracle
     // construct the identical view; TrainFilterSpec hash-equality holds)
     val pages = stage("pages", C4Quality.pageView(spark, dir))
-    val gd = stage("gopherdoc",
-      C4Quality.gopherDocPages(pages).select("doc_id", "gopher_doc_keep"))
-    val c4 = stage("c4",
-      C4Quality.cleanPages(pages).select(col("doc_id"), col("page_keep").as("c4_keep")))
+    val gd = pages.flatMap(p => stage("gopherdoc",
+      C4Quality.gopherDocPages(p).select("doc_id", "gopher_doc_keep")))
+    val c4 = pages.flatMap(p => stage("c4",
+      C4Quality.cleanPages(p).select(col("doc_id"), col("page_keep").as("c4_keep"))))
     val tx = stage("toxicity",
       Toxicity.toxicity(spark, dir).select("doc_id", "tox_keep"))
-    val dc = stage("decontam", Curation.decontaminate(spark, dir)
-      .selectExpr("doc_id", "NOT is_eval AND NOT contaminated AS decon_keep"))
-    compose(q, l, k, g, gd, c4, tx, dc)
+    val dc = stage("decontam",
+      Curation.decontaminateDocs(Inputs.documents(spark, dir), evalGrams)
+        .selectExpr("doc_id", "NOT is_eval AND NOT contaminated AS decon_keep"))
+    val Seq(qS, lS, kS, gS, gdS, c4S, txS, dcS) =
+      Await.result(Future.sequence(Seq(q, l, k, g, gd, c4, tx, dc)), Duration.Inf)
+    compose(qS, lS, kS, gS, gdS, c4S, txS, dcS)
   }
 
   /** The eight legs' oracles nested as CTE bodies + the same joins. */

@@ -41,8 +41,9 @@ class ApiSpec extends AnyFunSuite with Matchers with SparkTestBase {
 
   test("CurateJob writes the shard-partitioned packed layout, same rows as the query") {
     val out = java.nio.file.Files.createTempDirectory("graft_curate").toString
+    // stage arg exactly as main() defaults it: the SIBLING <output>_stage
     val n = graft.jobs.CurateJob.run(spark, "/root/testdata/sf0.001",
-      s"$out/packed", s"$out/stage")
+      s"$out/packed", s"$out/packed_stage")
     n should be >= 1L
     val packed = spark.read.parquet(s"$out/packed")
     // shard survives as a partition column; rows match the pipeline query
@@ -52,6 +53,34 @@ class ApiSpec extends AnyFunSuite with Matchers with SparkTestBase {
     packed.selectExpr("doc_id", "seq_id", "seq_offset")
       .exceptAll(direct.selectExpr("doc_id", "seq_id", "seq_offset"))
       .count() shouldBe 0L
+  }
+
+  test("CurateJob rejects a stage dir at or under the output (overwrite would eat it)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_curate_guard").toString
+    val e1 = intercept[IllegalArgumentException](graft.jobs.CurateJob.run(
+      spark, "/root/testdata/sf0.001", s"$out/packed", s"$out/packed/_stage"))
+    e1.getMessage should include("must not be the output or under it")
+    val e2 = intercept[IllegalArgumentException](graft.jobs.CurateJob.run(
+      spark, "/root/testdata/sf0.001", s"$out/packed/", s"$out/packed"))
+    e2.getMessage should include("must not be the output or under it")
+  }
+
+  test("CurateJob deployment knobs: --shards resizes packing, --eval redirects decontamination") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_curate_knobs").toString
+    // benchmark file with no 13-gram overlap: the held-out-split docs
+    // are no longer dropped as eval, so the packed corpus can only grow
+    val evalPath = s"$out/bench.parquet"
+    Seq("completely unrelated benchmark prompt text with nothing shared")
+      .toDF("text").write.parquet(evalPath)
+    val n = graft.jobs.CurateJob.run(spark, "/root/testdata/sf0.001",
+      s"$out/packed", s"$out/packed_stage", shards = 5, evalPath = Some(evalPath))
+    val packed = spark.read.parquet(s"$out/packed")
+    packed.selectExpr("CAST(shard AS INT) AS s").distinct().collect()
+      .map(_.getInt(0)).foreach(s => s should (be >= 0 and be < 5))
+    val defaultN = graft.operators.Curation
+      .curatePipeline(spark, "/root/testdata/sf0.001").count()
+    n should be >= defaultN
   }
 
   test("pii_scan and vader_compound are callable from SQL after registration") {

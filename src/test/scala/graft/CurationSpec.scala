@@ -42,6 +42,55 @@ class CurationSpec extends AnyFunSuite with Matchers with SparkTestBase {
     out(5L) shouldBe ((false, 2, true))
   }
 
+  test("decontaminate against an EXTERNAL benchmark gram set (production side)") {
+    import spark.implicits._
+    // the benchmark file shares doc 1's span; the doc_id%10 split must
+    // be ignored entirely (doc 0 is NOT eval when the eval side is
+    // external), and only the span-sharing doc is contaminated
+    val span = words("t", 3, 14)
+    val bench = Seq(s"prefix words $span suffix").toDF("text")
+    val out = Curation.decontaminateDocs(docs(
+        (0L, words("x", 1, 20)),
+        (1L, span),
+        (2L, words("u", 1, 15))),
+        extEvalGrams = Some(Curation.evalGramsOf(bench)))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("is_eval"), r.getAs[Boolean]("contaminated")))).toMap
+    out(0L) shouldBe ((false, false)) // %10==0 yet not eval: external set rules
+    out(1L) shouldBe ((false, true))
+    out(2L) shouldBe ((false, false))
+  }
+
+  test("seq pack at a NON-DEFAULT shard count: sharding + per-shard token conservation") {
+    val in = docs((0L, words("a", 1, 500)), (1L, words("b", 1, 20)),
+      (2L, words("c", 1, 600)), (3L, words("d", 1, 10)),
+      (4L, words("e", 1, 7)), (5L, words("f", 1, 99)))
+    val out = Curation.seqPackDocs(in, shards = 3).collect()
+    // shard key follows the requested modulus
+    out.foreach(r => r.getAs[Int]("shard") shouldBe
+      (r.getAs[Long]("doc_id") % 3).toInt)
+    // conservation: each shard's final cumulative offset equals the sum
+    // of its docs' token counts (nothing padded or dropped)
+    out.groupBy(_.getAs[Int]("shard")).foreach { case (_, rows) =>
+      rows.map(_.getAs[Long]("cum_tok")).max shouldBe
+        rows.map(_.getAs[Int]("n_tok").toLong).sum
+    }
+  }
+
+  test("staged capstone hash-equals the proof-shape pipeline (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val stage = java.nio.file.Files.createTempDirectory("graft_curate_stage").toString
+    val staged = Curation.curatePipelineStaged(spark, dir, stage)
+    val proof = Curation.curatePipeline(spark, dir)
+    staged.schema.map(f => (f.name, f.dataType)) shouldBe
+      proof.schema.map(f => (f.name, f.dataType))
+    staged.exceptAll(proof).count() shouldBe 0L
+    proof.exceptAll(staged).count() shouldBe 0L
+    // the resume points exist: the 9 filter legs AND the surviving corpus
+    spark.read.parquet(s"$stage/legs/keeplist").count() shouldBe 500L
+    spark.read.parquet(s"$stage/kept").count() should be >= 1L
+  }
+
   test("mix sample: hand-computed rates, cap at 1.0, deterministic keeps") {
     import spark.implicits._
     // src0: 100 tokens (w=25), other: 100 (w=3), rare: 4 (w=3).

@@ -19,8 +19,10 @@ class TrainFilterSpec extends AnyFunSuite with Matchers with SparkTestBase {
       composed.schema.map(f => (f.name, f.dataType))
     staged.exceptAll(composed).count() shouldBe 0L
     composed.exceptAll(staged).count() shouldBe 0L
-    // the legs really were materialized (resume/reuse point exists)
-    Seq("quality", "langid", "keeplist", "gopher", "gopherdoc", "c4").foreach { leg =>
+    // ALL staged paths really were materialized (resume/reuse point
+    // exists for every leg, incl. the shared page view)
+    Seq("quality", "langid", "keeplist", "gopher", "pages", "gopherdoc",
+        "c4", "toxicity", "decontam").foreach { leg =>
       spark.read.parquet(s"$stageDir/$leg").count() shouldBe 500L
     }
   }
