@@ -30,7 +30,13 @@ class VaderSpec extends AnyFunSuite with Matchers {
     ("Today SUX!", -0.5461, 0.0, 0.779, 0.221),
     ("Today sux", -0.3612, 0.0, 0.714, 0.286),
     ("Today sux!", -0.4199, 0.0, 0.736, 0.264),
-    ("Make sure you :) or :D today!", 0.3802, 0.302, 0.0, 0.698),
+    // 'sure' entered the bundled lexicon in round 6 (it IS in the published
+    // lexicon at 1.3) — the former 0.3802 golden encoded the subset
+    // boundary. ':D' scores 0 under nltk 3.8.1 semantics: the lexicon's
+    // uppercase-emoticon entries are unreachable through the lowercased
+    // lookup (sentiment_valence's item.lower()), so the published README's
+    // 0.8633 (older vaderSentiment) is not the nltk-pinned value.
+    ("Make sure you :) or :D today!", 0.5983, 0.495, 0.0, 0.505),
     ("Not bad at all", 0.431, 0.487, 0.0, 0.513),
     ("The plot was good, but the characters are uncompelling and the dialog is bad.",
       -0.5859, 0.104, 0.254, 0.642),
@@ -56,7 +62,12 @@ class VaderSpec extends AnyFunSuite with Matchers {
     ("least favorite movie", -0.357, 0.0, 0.554, 0.446),
     ("at least it works", 0.0, 0.0, 0.0, 1.0),
     ("this is the shit", 0.6124, 0.571, 0.0, 0.429),            // special-case idiom
-    ("yeah right, sure it works", 0.0, 0.0, 0.0, 1.0),
+    // 'yeah' (1.2) and 'sure' (1.3) entered the lexicon in round 6. The
+    // "yeah right" idiom (-2) deliberately does NOT fire here: nltk only
+    // consults SPECIAL_CASE_IDIOMS while scoring a lexicon word at least
+    // 3 tokens past the idiom start (start_i == 2 requires i > 2 and the
+    // word at i-3 out-of-lexicon), and no scored word sits there.
+    ("yeah right, sure it works", 0.5423, 0.6, 0.0, 0.4),
     ("", 0.0, 0.0, 0.0, 0.0),
     ("a", 0.0, 0.0, 0.0, 0.0),
     ("?? !!", 0.0, 0.0, 0.0, 1.0)
