@@ -280,6 +280,11 @@ object SparkEntry {
     // Gopher repetition rules (Rae'21 A1.1): top n-gram char fraction
     // + union-of-spans duplicate 5-gram fraction, published thresholds
     "q_gopher_quality" -> ((s, dir) => operators.GopherQuality.quality(s, dir)),
+    // mega-doc blocked variant (every per-doc window two-phase blocked;
+    // registered with blocking FORCED ON at test scale — threshold 32
+    // tokens, 8 blocks — so the oracle exercises the blocked plan)
+    "q_gopher_blocked" -> ((s, dir) => operators.GopherQuality
+      .qualityBlocked(s, dir, numBlocks = 8, heavyThreshold = 32)),
     // C4 (Raffel'20 §2.2) line/page rules + corpus-wide 3-sentence-span
     // dedup, over the deterministic re-punctuated page view
     "q_c4_clean" -> (operators.C4Quality.clean _),
@@ -403,6 +408,7 @@ object SparkEntry {
     "q_perplexity_trigram" -> operators.Perplexity.trigramSBOracle(),
     "q_quality" -> operators.TextStats.qualityOracle,
     "q_gopher_quality" -> operators.GopherQuality.qualityOracle,
+    "q_gopher_blocked" -> operators.GopherQuality.qualityOracle,
     "q_c4_clean" -> operators.C4Quality.cleanOracle,
     "q_c4_span_dedup" -> operators.C4Quality.spanDedupOracle,
     "q_gopher_doc" -> operators.C4Quality.gopherDocOracle,

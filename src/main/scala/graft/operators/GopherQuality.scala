@@ -50,14 +50,12 @@ object GopherQuality {
     * every per-doc window downstream) serializes WITHIN one document —
     * fine while documents are document-sized (the operating assumption:
     * ≲ 10^6 tokens per doc, i.e. book length; one task sorts one doc's
-    * tokens in memory). A corpus whose "documents" are multi-GB
-    * concatenations needs the conversation-scan block treatment
-    * ([[graft.pipeline.Conversation.runningStateSalted]]) — split each
-    * doc into order-contiguous blocks, per-block scan, broadcast block
-    * offsets. Correctness at the bound is pinned by GopherQualitySpec's
-    * pathological-doc case; the block variant is deliberately NOT wired
-    * here because a curation pipeline segments documents upstream of
-    * quality filtering. */
+    * tokens in memory). Correctness at the bound is pinned by
+    * GopherQualitySpec's pathological-doc case. For corpora whose
+    * "documents" are multi-GB concatenations, [[qualityBlocked]] (r6)
+    * removes the assumption entirely with the
+    * [[graft.pipeline.Conversation.runningStateSalted]] block pattern —
+    * row-identical, same oracle. */
   private def toks(docs: DataFrame): DataFrame = {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -229,6 +227,138 @@ object GopherQuality {
       .groupBy("doc_id").pivot("n", DupNs).agg(first("frac"))
       .select(col("doc_id") +: DupNs.map(n => col(n.toString).as(s"dup${n}_frac")): _*)
     Seq(topFracs, dupFracs)
+  }
+
+  /** Mega-doc blocked variant: the fused shape with EVERY per-doc
+    * ordered window replaced by the two-phase block pattern of
+    * [[graft.pipeline.Conversation.runningStateSalted]], removing the
+    * Scaladoc-stated ≲10^6-tokens-per-doc bound of [[quality]]. A
+    * "document" that is a multi-GB concatenation no longer serializes
+    * into one task anywhere:
+    *
+    *  1. '''char_start''' (prefix sum of len+1): heavy docs (>
+    *     `heavyThreshold` tokens, found by one partial-aggregated count
+    *     pass) split into `numBlocks` order-contiguous pos ranges;
+    *     within-block running sum under the (doc_id, blk) shuffle +
+    *     per-block totals → tiny offset table → broadcast join back.
+    *  2. '''n-gram leads''': lead(tok, 1..9) windows run per (doc_id,
+    *     blk); each block borrows the first maxLead=9 tokens of its
+    *     successor as GHOST rows (dropped after gram formation), so
+    *     grams crossing a block boundary are still formed — `bw` is
+    *     clamped ≥ maxLead so one successor block always suffices.
+    *  3. '''duplicate marking''': the per-(doc, n, gram) count window —
+    *     itself a single-partition scan for a gram repeated 10^9 times —
+    *     becomes a partial-aggregated groupBy count + shuffle join back
+    *     (AQE splits the skewed join key at runtime).
+    *  4. '''span union''': gaps-and-islands needs island identity, which
+    *     does not block-decompose; the blocked path instead uses the
+    *     equivalent prefix-max CONTRIBUTION form — sorted by
+    *     (char_start, pos), each span adds max(0, char_end −
+    *     max(char_start, max-prev-char_end)); the sum telescopes to
+    *     Σ islands (max_end − min_start) exactly (integer arithmetic,
+    *     no float drift). The running max is a combinable prefix scan:
+    *     within-block prefix max + per-block max → tiny carry-in table →
+    *     broadcast join, same two-phase shape as the char_start sum.
+    *  5. '''top-n argmax''': row_number() over the doc's distinct grams
+    *     becomes min(struct(−cnt, gram)) — an all-partial aggregation
+    *     with the identical (count desc, gram asc) tie-break.
+    *
+    * Row-identical to [[quality]] on ANY input (same oracle SQL;
+    * GopherQualitySpec asserts hash equality on the fixture and the
+    * pathological mega-doc corpus with blocking forced on). Light docs
+    * take blk = 0 everywhere and join against empty offset tables. */
+  def qualityBlocked(spark: SparkSession, dir: String,
+                     numBlocks: Int = 32,
+                     heavyThreshold: Long = 1000000L): DataFrame = {
+    val docs = Inputs.documents(spark, dir).select("doc_id", "text")
+    val allNs = (TopNs ++ DupNs).sorted
+    val maxLead = allNs.max - 1
+    val raw = docs.select(col("doc_id"), length(col("text")).as("total_chars"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    // heavy-doc extents: one partial-aggregated count per doc, filtered
+    // to the few heavy ones before the broadcast. pos is 0-based and
+    // contiguous, so lo = 0 and bw alone defines the blocks.
+    val extent = raw.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+      .filter(col("n_toks") > heavyThreshold)
+      .withColumn("bw", greatest(
+        ceil(col("n_toks") / lit(numBlocks.toDouble)), lit(maxLead.toDouble)).cast("long"))
+      .select("doc_id", "bw")
+    val blocked = raw.join(broadcast(extent), Seq("doc_id"), "left")
+      .withColumn("blk", coalesce(floor(col("pos") / col("bw")), lit(0L)))
+    // phase 1+2 char_start: within-block prefix sum + per-block offsets
+    val wCs = Window.partitionBy("doc_id", "blk").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offW = Window.partitionBy("doc_id").orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val csOffsets = blocked.filter(col("bw").isNotNull)
+      .groupBy("doc_id", "blk").agg(sum(length(col("tok")) + 1).as("b_chars"))
+      .select(col("doc_id"), col("blk"),
+        coalesce(sum("b_chars").over(offW), lit(0L)).as("chars_before"))
+    val t = blocked
+      .withColumn("cs_b", coalesce(sum(length(col("tok")) + 1).over(wCs), lit(0L)))
+      .join(broadcast(csOffsets), Seq("doc_id", "blk"), "left")
+      .withColumn("char_start", col("cs_b") + coalesce(col("chars_before"), lit(0L)))
+      .select("doc_id", "total_chars", "pos", "tok", "blk", "bw", "char_start")
+    // ghost rows: each block borrows its successor's first maxLead
+    // tokens (lead sources only — dropped after gram formation)
+    val ghosts = t.filter(col("bw").isNotNull && col("blk") >= 1 &&
+        col("pos") < col("blk") * col("bw") + lit(maxLead.toLong))
+      .withColumn("blk", col("blk") - 1).withColumn("ghost", lit(true))
+    val wLead = Window.partitionBy("doc_id", "blk").orderBy("pos")
+    val withLeads = (1 to maxLead).foldLeft(
+      t.withColumn("ghost", lit(false)).unionByName(ghosts)) {
+      (acc, i) => acc.withColumn(s"l$i", lead("tok", i).over(wLead))
+    }.filter(!col("ghost"))
+    val gramStructs = allNs.map { n =>
+      val parts = col("tok") +: (1 until n).map(i => col(s"l$i"))
+      when(col(s"l${n - 1}").isNotNull,
+        struct(lit(n).as("n"), concat_ws(" ", parts: _*).as("gram")))
+    }
+    val grams = withLeads
+      .select(col("doc_id"), col("total_chars"), col("pos"), col("char_start"),
+        col("blk"), col("bw"), explode(array(gramStructs: _*)).as("g"))
+      .filter(col("g").isNotNull)
+      .select(col("doc_id"), col("total_chars"), col("pos"), col("char_start"),
+        col("blk"), col("bw"), col("g.n").as("n"), col("g.gram").as("gram"),
+        (col("char_start") + length(col("g.gram"))).as("char_end"))
+    // top n-gram: hash-agg count, then the argmax as min(struct(-cnt,
+    // gram)) — all-partial, no per-doc ranking window
+    val topBest = grams.filter(col("n").isin(TopNs: _*))
+      .groupBy("doc_id", "total_chars", "n", "gram")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "total_chars", "n")
+      .agg(min(struct((-col("cnt")).as("nc"), col("gram").as("g"))).as("best"))
+    val topFracs = topBest.select(col("doc_id"), col("n"),
+        round((-col("best.nc")) * length(col("best.g")) /
+          col("total_chars").cast("double"), 6).as("frac"))
+      .groupBy("doc_id").pivot("n", TopNs).agg(first("frac"))
+      .select(col("doc_id") +: TopNs.map(n => col(n.toString).as(s"top${n}_frac")): _*)
+    // duplicate marking: groupBy count + join back (no per-gram window)
+    val dupGrams = grams.filter(col("n").isin(DupNs: _*))
+    val dupKeys = dupGrams.groupBy("doc_id", "n", "gram")
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+      .select("doc_id", "n", "gram")
+    val dups = dupGrams.join(dupKeys, Seq("doc_id", "n", "gram"))
+    // blocked prefix max of char_end + contribution sum
+    val wPm = Window.partitionBy("doc_id", "n", "blk").orderBy("char_start", "pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryW = Window.partitionBy("doc_id", "n").orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = dups.filter(col("bw").isNotNull)
+      .groupBy("doc_id", "n", "blk").agg(max("char_end").as("b_max"))
+      .select(col("doc_id"), col("n"), col("blk"),
+        max("b_max").over(carryW).as("carry_end"))
+    val dupFracs = dups
+      .withColumn("pm", max("char_end").over(wPm))
+      .join(broadcast(carries), Seq("doc_id", "n", "blk"), "left")
+      .withColumn("contrib", greatest(lit(0L), col("char_end") -
+        greatest(col("char_start"), coalesce(col("pm"), lit(-1L)),
+          coalesce(col("carry_end"), lit(-1L)))))
+      .groupBy("doc_id", "total_chars", "n")
+      .agg(round(sum("contrib") / col("total_chars").cast("double"), 6).as("frac"))
+      .groupBy("doc_id").pivot("n", DupNs).agg(first("frac"))
+      .select(col("doc_id") +: DupNs.map(n => col(n.toString).as(s"dup${n}_frac")): _*)
+    assemble(docs, Seq(topFracs, dupFracs))
   }
 
   // ---- DuckDB twin: the same windows/aggregates verbatim.

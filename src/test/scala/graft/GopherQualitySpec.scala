@@ -93,6 +93,47 @@ class GopherQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     rows(1L).getAs[Boolean]("gopher_keep") shouldBe false // tie-break top2 8/27
   }
 
+  test("blocked variant is row-identical to the default with blocking forced on") {
+    // threshold 3 tokens / 4 blocks: every fixture doc is "heavy", bw
+    // clamps to maxLead = 9, and doc 0/1/4 exercise the ghost-row path
+    val a = GopherQuality.quality(spark, dir).collect()
+      .sortBy(_.getLong(0)).map(_.toString)
+    val b = GopherQuality.qualityBlocked(spark, dir, numBlocks = 4, heavyThreshold = 3)
+      .collect().sortBy(_.getLong(0)).map(_.toString)
+    b shouldBe a
+    // and with nothing heavy, the blocked plan degenerates to blk = 0
+    val c = GopherQuality.qualityBlocked(spark, dir).collect()
+      .sortBy(_.getLong(0)).map(_.toString)
+    c shouldBe a
+  }
+
+  test("blocked variant on a pathological mega-doc: spans crossing block boundaries merge exactly") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("gopher_mega_blk").toString
+    // doc 0: 20k identical tokens -> one island covering the whole doc,
+    // crossing every block boundary; doc 1: a repeated 7-gram whose
+    // second occurrence sits far from the first (islands in different
+    // blocks, no cross-boundary merge); doc 2: light control
+    val mega = Seq.fill(20000)("w").mkString(" ")
+    // distinct filler tokens — no accidental duplicated n-grams between
+    // the two occurrences of the 7-gram
+    val spaced = (Seq("a b c d e f g") ++ (0 until 300).map(i => s"u$i") ++
+      Seq("a b c d e f g")).mkString(" ")
+    Seq((0L, mega), (1L, spaced), (2L, "one two three four five six"))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val base = GopherQuality.quality(spark, d).collect()
+      .sortBy(_.getLong(0)).map(_.toString)
+    val blk = GopherQuality.qualityBlocked(spark, d, numBlocks = 16, heavyThreshold = 100)
+      .collect().sortBy(_.getLong(0)).map(_.toString)
+    blk shouldBe base
+    val rows = GopherQuality.qualityBlocked(spark, d, numBlocks = 16, heavyThreshold = 100)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    rows(0L).getAs[Double]("dup5_frac") shouldBe 1.0
+    rows(0L).getAs[Double]("dup10_frac") shouldBe 1.0
+    rows(1L).getAs[Double]("dup7_frac") shouldBe 26.0 / spaced.length +- 1e-6
+    rows(1L).getAs[Double]("dup8_frac") shouldBe 0.0
+  }
+
   test("top-n fractions and the published-threshold keep decision") {
     val rows = GopherQuality.quality(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
