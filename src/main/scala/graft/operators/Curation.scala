@@ -266,16 +266,24 @@ object Curation {
     * slim parquet instead of re-deriving the 8-way join), then
     * mixture-sample + pack. Same rows as [[curatePipeline]]
     * (CurationSpec asserts hash-equality; same nested oracle) — staging
-    * only changes where the legs are paid for. `shards`/`evalGrams`
-    * are the deployment knobs (CurateJob `--shards` / `--eval`). */
+    * only changes where the legs are paid for. `shards`/`evalGrams`/
+    * `resume` are the deployment knobs (CurateJob `--shards` /
+    * `--eval` / `--resume`): with `resume = true` every staged piece —
+    * the eight legs AND the surviving-corpus table — is skipped when
+    * its `_SUCCESS` commit marker exists ([[StageCommit]]), so a
+    * killed run re-pays only uncommitted work. */
   def curatePipelineStaged(spark: SparkSession, dir: String, stageDir: String,
                            shards: Int = PackShards,
-                           evalGrams: Option[DataFrame] = None): DataFrame = {
-    val kept = TrainFilter.trainFilterStaged(spark, dir, s"$stageDir/legs", evalGrams)
-      .filter(col("train_keep")).select("doc_id")
+                           evalGrams: Option[DataFrame] = None,
+                           resume: Boolean = false): DataFrame = {
     val keptPath = s"$stageDir/kept"
-    Inputs.documents(spark, dir).join(kept, "doc_id")
-      .write.mode("overwrite").parquet(keptPath)
+    if (!(resume && StageCommit.committed(spark, keptPath))) {
+      val kept = TrainFilter
+        .trainFilterStaged(spark, dir, s"$stageDir/legs", evalGrams, resume)
+        .filter(col("train_keep")).select("doc_id")
+      Inputs.documents(spark, dir).join(kept, "doc_id")
+        .write.mode("overwrite").parquet(keptPath)
+    }
     val docs = spark.read.parquet(keptPath)
     val sampled = mixSampleDocs(docs).filter(col("keep")).select("doc_id")
     seqPackDocs(docs.join(sampled, "doc_id"), shards)

@@ -81,15 +81,26 @@ object TrainFilter {
     * `evalGrams` (see [[Curation.evalGramsOf]]) switches the
     * decontamination leg from the held-out split to a real benchmark
     * gram set — the production knob (CurateJob `--eval`); default None
-    * keeps the oracle-checked split semantics. */
+    * keeps the oracle-checked split semantics.
+    *
+    * `resume = true` makes the resumability claim operational: a leg
+    * whose staged parquet carries the committer's `_SUCCESS` marker is
+    * READ BACK instead of recomputed, so a killed run re-pays only the
+    * legs that had not committed (an interrupted write leaves no
+    * `_SUCCESS`, so a torn leg always recomputes). Same contract as
+    * [[graft.pipeline.Checkpoint]]: resume assumes the same input and
+    * options — stage into a fresh dir when either changes. Default
+    * false preserves recompute-everything semantics for audits. */
   def trainFilterStaged(spark: SparkSession, dir: String, stageDir: String,
-                        evalGrams: Option[DataFrame] = None): DataFrame = {
+                        evalGrams: Option[DataFrame] = None,
+                        resume: Boolean = false): DataFrame = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
     def stage(name: String, df: => DataFrame): Future[DataFrame] = Future {
       val p = s"$stageDir/$name"
-      df.write.mode("overwrite").parquet(p)
+      if (!(resume && StageCommit.committed(spark, p)))
+        df.write.mode("overwrite").parquet(p)
       spark.read.parquet(p)
     }
     val q = stage("quality", TextStats.quality(spark, dir)

@@ -83,6 +83,35 @@ class ApiSpec extends AnyFunSuite with Matchers with SparkTestBase {
     n should be >= defaultN
   }
 
+  test("CurateJob --resume reuses every committed stage on a re-run") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val out = java.nio.file.Files.createTempDirectory("graft_curate_resume").toString
+    val n1 = graft.jobs.CurateJob.run(spark, "/root/testdata/sf0.001",
+      s"$out/packed", s"$out/stage", resume = true)
+    // the whole staged surface: 9 leg tables + the surviving corpus
+    def listing(rel: String): Map[String, Long] =
+      Files.list(Paths.get(s"$out/stage/$rel")).iterator().asScala
+        .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    val stages = Seq("kept") ++ Seq("quality", "langid", "keeplist", "gopher",
+      "pages", "gopherdoc", "c4", "toxicity", "decontam").map(l => s"legs/$l")
+    val before = stages.map(s => s -> listing(s)).toMap
+    val n2 = graft.jobs.CurateJob.run(spark, "/root/testdata/sf0.001",
+      s"$out/packed", s"$out/stage", resume = true)
+    n2 shouldBe n1
+    stages.foreach { s =>
+      withClue(s"committed stage $s must not be rewritten on resume: ") {
+        listing(s) shouldBe before(s)
+      }
+    }
+    // output still matches the declarative pipeline
+    val direct = graft.operators.Curation.curatePipeline(spark, "/root/testdata/sf0.001")
+    spark.read.parquet(s"$out/packed").selectExpr("doc_id", "seq_id", "seq_offset")
+      .exceptAll(direct.selectExpr("doc_id", "seq_id", "seq_offset"))
+      .count() shouldBe 0L
+  }
+
   test("pii_scan and vader_compound are callable from SQL after registration") {
     GraftExtensions.register(spark)
     val rows = spark.sql(
