@@ -31,11 +31,19 @@ object SparkEntry {
   sys.addShutdownHook {
     import java.nio.file.{Files, Path}
     import scala.jdk.CollectionConverters._
+    // per-dir try + try-with-resources on the walk stream: one pinned
+    // file (e.g. held by a still-running executor thread) must not
+    // leak every REMAINING dir, and the stream handle must not leak
     stageDirs.asScala.foreach { d =>
-      val root = Path.of(d)
-      if (Files.exists(root))
-        Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
+      try {
+        val root = Path.of(d)
+        if (Files.exists(root)) {
+          val walk = Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+          finally walk.close()
+        }
+      } catch { case _: Exception => () }
     }
   }
   private def noncedStageDir(prefix: String, dir: String): String = {

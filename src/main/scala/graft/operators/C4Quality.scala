@@ -170,7 +170,14 @@ object C4Quality {
     * lowest (doc_id, sidx); every sentence of a later occurrence is
     * removed. Output per kept page: sentence counts + rebuilt text. */
   def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    // the surviving-page frame feeds BOTH the sentence explode chain and
+    // the final left join (and the explode chain reads it twice more:
+    // spans + keptSents) — materialize the slim per-doc frame once per
+    // invocation instead of re-running the pageView self-join + line
+    // aggregation per consumer (3 re-derivations in the r6 plan)
     val pages = cleanPages(pageView(spark, dir)).filter(col("page_keep"))
+      .select("doc_id", "n_sentences", "clean_text")
+      .localCheckpoint()
     val sents = pages.select(col("doc_id"),
         posexplode(expr(
           "transform(regexp_extract_all(replace(clean_text, '\n', ' '), '[^.!?]+[.!?]+', 0), x -> trim(x))"))

@@ -58,6 +58,10 @@ object Curation {
   def evalGramsOf(bench: DataFrame): DataFrame =
     gramSets(bench.selectExpr("monotonically_increasing_id() AS doc_id", "text"))
       .selectExpr("explode(grams) AS gram")
+      .distinct() // the broadcast side must be distinct-ed HERE, not by
+      // courtesy of the consumer — decontaminateDocs distincts again
+      // (idempotent), but any other caller broadcasting this frame
+      // would otherwise ship duplicate grams
 
   /** The computation over any (doc_id, text) frame (spec entry). When
     * `extEvalGrams` is given (a 1-column `gram` frame, see
@@ -252,8 +256,19 @@ object Curation {
     * own audited plans + two doc_id equi-joins (co-partitioned at
     * scale) — nothing new crosses the wire. */
   def curatePipeline(spark: SparkSession, dir: String): DataFrame = {
+    // The slim keep-decision (doc_id only) is materialized ONCE
+    // (localCheckpoint, computed fresh inside every invocation): the
+    // downstream mixture aggregate, its keep join, and the pack window
+    // each reference the kept corpus, and without the checkpoint each
+    // reference re-derives the ENTIRE 8-leg filter chain — the r6 plan
+    // carried 128 parquet scans / 372 exchanges (~4x the 30-scan
+    // trainFilter plan) for one 7-row result. The decision list is a
+    // few bytes per surviving doc, so at 100 TB this is exactly the
+    // "decide on small rows once, re-attach cheaply" rule (guide §8);
+    // the re-attached documents join stays declarative and the nested
+    // oracle is unchanged.
     val kept = TrainFilter.trainFilter(spark, dir)
-      .filter(col("train_keep")).select("doc_id")
+      .filter(col("train_keep")).select("doc_id").localCheckpoint()
     val docs = Inputs.documents(spark, dir).join(kept, "doc_id")
     val sampled = mixSampleDocs(docs).filter(col("keep")).select("doc_id")
     seqPackDocs(docs.join(sampled, "doc_id"))

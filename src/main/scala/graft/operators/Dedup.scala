@@ -293,20 +293,30 @@ object Dedup {
   def dupClustersBigStarOver(docs: DataFrame,
       cap: Int = DefaultBucketCap): (DataFrame, Int) = {
     val sh = shingledOver(representatives(docs)).cache()
-    val pairs = candidatePairs(sh, cap).localCheckpoint()
+    // connectedComponents materializes the pair list on entry (while the
+    // shingle cache is still live); a second caller-side checkpoint here
+    // would just copy the same rows again
+    val pairs = candidatePairs(sh, cap)
+    val out = connectedComponents(pairs)
     sh.unpersist()
-    connectedComponents(pairs)
+    out
   }
 
   /** Large-star/small-star core over a (a_id, b_id) pair list: labels
     * every participating node with its component min in O(log n)
     * rounds. Exposed for adversarial graph tests. */
   def connectedComponents(pairs: DataFrame): (DataFrame, Int) = {
-    val nodes = pairs.select(col("a_id").as("doc_id"))
-      .unionAll(pairs.select(col("b_id").as("doc_id"))).distinct()
-      .localCheckpoint()
+    // materialize the (tiny) pair list ONCE: `nodes` and the canonical
+    // edge set both read it, and for callers that hand in a LAZY pair
+    // frame (embedDupClusters' banded self-join) each reference would
+    // otherwise re-derive the whole candidate generator. nodes itself
+    // stays lazy — it is only consumed by the final labels join, so an
+    // upfront checkpoint job bought nothing.
+    val p = pairs.localCheckpoint()
+    val nodes = p.select(col("a_id").as("doc_id"))
+      .unionAll(p.select(col("b_id").as("doc_id"))).distinct()
     // canonical src > dst
-    var edges = pairs
+    var edges = p
       .select(greatest(col("a_id"), col("b_id")).as("src"),
         least(col("a_id"), col("b_id")).as("dst"))
       .filter(col("src") =!= col("dst"))

@@ -275,55 +275,75 @@ object GopherQuality {
     val maxLead = allNs.max - 1
     val raw = docs.select(col("doc_id"), length(col("text")).as("total_chars"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-    // heavy-doc extents: one partial-aggregated count per doc, filtered
-    // to the few heavy ones before the broadcast. pos is 0-based and
+    // heavy-doc extents WITHOUT an explode: the token count of a doc is
+    // size(split(text)) — same value the r6 shape paid a full
+    // posexplode + count aggregation for. pos is 0-based and
     // contiguous, so lo = 0 and bw alone defines the blocks.
-    val extent = raw.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+    // materialized once (a few rows per heavy doc): every gram branch
+    // references it, and as a lazy frame each branch would rebuild it
+    val extent = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"))
       .filter(col("n_toks") > heavyThreshold)
       .withColumn("bw", greatest(
         ceil(col("n_toks") / lit(numBlocks.toDouble)), lit(maxLead.toDouble)).cast("long"))
       .select("doc_id", "bw")
     val blocked = raw.join(broadcast(extent), Seq("doc_id"), "left")
       .withColumn("blk", coalesce(floor(col("pos") / col("bw")), lit(0L)))
-    // phase 1+2 char_start: within-block prefix sum + per-block offsets
-    val wCs = Window.partitionBy("doc_id", "blk").orderBy("pos")
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // ghost rows: each block borrows its successor's first maxLead
+    // tokens (lead sources only — dropped after gram formation). Built
+    // BEFORE the window pass (r6 built them from the windowed+joined
+    // char_start frame, re-deriving that whole subtree a second time):
+    // a ghost only ever donates its `tok` to lead(), so it needs no
+    // char_start, and its pos ≥ (blk+1)·bw sorts strictly AFTER every
+    // base row of the block it ghosts into — the within-block prefix
+    // sums of base rows can't see it.
+    val ghosts = blocked.filter(col("bw").isNotNull && col("blk") >= 1 &&
+        col("pos") < col("blk") * col("bw") + lit(maxLead.toLong))
+      .withColumn("blk", col("blk") - 1).withColumn("ghost", lit(true))
+    val unioned = blocked.withColumn("ghost", lit(false)).unionByName(ghosts)
+    // per-block char offsets (ghost-free by construction); tiny —
+    // materialized once for every gram branch's broadcast join
     val offW = Window.partitionBy("doc_id").orderBy("blk")
       .rowsBetween(Window.unboundedPreceding, -1)
     val csOffsets = blocked.filter(col("bw").isNotNull)
       .groupBy("doc_id", "blk").agg(sum(length(col("tok")) + 1).as("b_chars"))
       .select(col("doc_id"), col("blk"),
         coalesce(sum("b_chars").over(offW), lit(0L)).as("chars_before"))
-    val t = blocked
-      .withColumn("cs_b", coalesce(sum(length(col("tok")) + 1).over(wCs), lit(0L)))
-      .join(broadcast(csOffsets), Seq("doc_id", "blk"), "left")
-      .withColumn("char_start", col("cs_b") + coalesce(col("chars_before"), lit(0L)))
-      .select("doc_id", "total_chars", "pos", "tok", "blk", "bw", "char_start")
-    // ghost rows: each block borrows its successor's first maxLead
-    // tokens (lead sources only — dropped after gram formation)
-    val ghosts = t.filter(col("bw").isNotNull && col("blk") >= 1 &&
-        col("pos") < col("blk") * col("bw") + lit(maxLead.toLong))
-      .withColumn("blk", col("blk") - 1).withColumn("ghost", lit(true))
+    // ONE (doc_id, blk)-keyed window pass per gram-width family: the
+    // within-block char prefix sum and the lead() columns share the same
+    // partition + order, so they run as one shuffle + one sort (r6 ran
+    // the char_start window, a broadcast join, then a SECOND sort for
+    // the leads over the union). The pass is parameterized on the width
+    // family so the top-n branch (n ≤ 4) computes 3 lead columns and
+    // explodes 3 widths instead of paying for all 9 and filtering.
+    val wCs = Window.partitionBy("doc_id", "blk").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
     val wLead = Window.partitionBy("doc_id", "blk").orderBy("pos")
-    val withLeads = (1 to maxLead).foldLeft(
-      t.withColumn("ghost", lit(false)).unionByName(ghosts)) {
-      (acc, i) => acc.withColumn(s"l$i", lead("tok", i).over(wLead))
-    }.filter(!col("ghost"))
-    val gramStructs = allNs.map { n =>
-      val parts = col("tok") +: (1 until n).map(i => col(s"l$i"))
-      when(col(s"l${n - 1}").isNotNull,
-        struct(lit(n).as("n"), concat_ws(" ", parts: _*).as("gram")))
+    def gramFrame(ns: Seq[Int]): DataFrame = {
+      val nl = ns.max - 1
+      val base = (1 to nl).foldLeft(
+        unioned.withColumn("cs_b",
+          coalesce(sum(length(col("tok")) + 1).over(wCs), lit(0L)))) {
+        (acc, i) => acc.withColumn(s"l$i", lead("tok", i).over(wLead))
+      }.filter(!col("ghost"))
+        .join(broadcast(csOffsets), Seq("doc_id", "blk"), "left")
+        .withColumn("char_start", col("cs_b") + coalesce(col("chars_before"), lit(0L)))
+      val structs = ns.map { n =>
+        val parts = col("tok") +: (1 until n).map(i => col(s"l$i"))
+        when(col(s"l${n - 1}").isNotNull,
+          struct(lit(n).as("n"), concat_ws(" ", parts: _*).as("gram")))
+      }
+      base
+        .select(col("doc_id"), col("total_chars"), col("pos"), col("char_start"),
+          col("blk"), col("bw"), explode(array(structs: _*)).as("g"))
+        .filter(col("g").isNotNull)
+        .select(col("doc_id"), col("total_chars"), col("pos"), col("char_start"),
+          col("blk"), col("bw"), col("g.n").as("n"), col("g.gram").as("gram"),
+          (col("char_start") + length(col("g.gram"))).as("char_end"))
     }
-    val grams = withLeads
-      .select(col("doc_id"), col("total_chars"), col("pos"), col("char_start"),
-        col("blk"), col("bw"), explode(array(gramStructs: _*)).as("g"))
-      .filter(col("g").isNotNull)
-      .select(col("doc_id"), col("total_chars"), col("pos"), col("char_start"),
-        col("blk"), col("bw"), col("g.n").as("n"), col("g.gram").as("gram"),
-        (col("char_start") + length(col("g.gram"))).as("char_end"))
     // top n-gram: hash-agg count, then the argmax as min(struct(-cnt,
     // gram)) — all-partial, no per-doc ranking window
-    val topBest = grams.filter(col("n").isin(TopNs: _*))
+    val topBest = gramFrame(TopNs)
       .groupBy("doc_id", "total_chars", "n", "gram")
       .agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id", "total_chars", "n")
@@ -333,8 +353,13 @@ object GopherQuality {
           col("total_chars").cast("double"), 6).as("frac"))
       .groupBy("doc_id").pivot("n", TopNs).agg(first("frac"))
       .select(col("doc_id") +: TopNs.map(n => col(n.toString).as(s"top${n}_frac")): _*)
-    // duplicate marking: groupBy count + join back (no per-gram window)
-    val dupGrams = grams.filter(col("n").isin(DupNs: _*))
+    // duplicate marking: groupBy count + join back (no per-gram window).
+    // dupKeys aggregates over the same (doc_id, n, gram) keys the join
+    // shuffles on, and the carry aggregate re-reads the same subtree —
+    // identical exchanges that AQE's ReusedExchange deduplicates at
+    // runtime (verified: an eager checkpoint of `dups` here measured
+    // SLOWER than letting the reuse happen).
+    val dupGrams = gramFrame(DupNs)
     val dupKeys = dupGrams.groupBy("doc_id", "n", "gram")
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
       .select("doc_id", "n", "gram")

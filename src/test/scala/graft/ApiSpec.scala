@@ -112,6 +112,51 @@ class ApiSpec extends AnyFunSuite with Matchers with SparkTestBase {
       .count() shouldBe 0L
   }
 
+  test("CurateJob --resume recovers a TORN kept stage (job-level kill window)") {
+    // The job-level failure window the operator-level TrainFilterSpec
+    // torn-leg case does not cover: the kill lands AFTER the legs commit
+    // but DURING the kept-corpus stage write. Resume must rewrite exactly
+    // the kept stage (no _SUCCESS => torn), reuse every committed leg
+    // untouched, and produce the identical packed output.
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val out = java.nio.file.Files.createTempDirectory("graft_curate_torn").toString
+    val n1 = graft.jobs.CurateJob.run(spark, "/root/testdata/sf0.001",
+      s"$out/packed", s"$out/stage", resume = true)
+    val packed1 = spark.read.parquet(s"$out/packed")
+      .selectExpr("doc_id", "shard", "n_tok", "cum_tok", "seq_id", "seq_offset", "n_seqs")
+      .collect().map(_.toString).sorted
+    // tear the kept stage: drop the commit marker and one data file —
+    // what an interrupted write leaves behind
+    val keptDir = Paths.get(s"$out/stage/kept")
+    Files.delete(keptDir.resolve("_SUCCESS"))
+    Files.list(keptDir).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).foreach(Files.delete)
+    def listing(rel: String): Map[String, Long] =
+      Files.list(Paths.get(s"$out/stage/$rel")).iterator().asScala
+        .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    val legs = Seq("quality", "langid", "keeplist", "gopher",
+      "pages", "gopherdoc", "c4", "toxicity", "decontam").map(l => s"legs/$l")
+    val legsBefore = legs.map(s => s -> listing(s)).toMap
+    val n2 = graft.jobs.CurateJob.run(spark, "/root/testdata/sf0.001",
+      s"$out/packed", s"$out/stage", resume = true)
+    n2 shouldBe n1
+    // the kept stage was recomputed (marker back, data complete) ...
+    Files.exists(keptDir.resolve("_SUCCESS")) shouldBe true
+    // ... the committed legs were NOT rewritten ...
+    legs.foreach { s =>
+      withClue(s"committed leg $s must not be rewritten on torn-kept resume: ") {
+        listing(s) shouldBe legsBefore(s)
+      }
+    }
+    // ... and the packed output is identical to the uninterrupted run's
+    val packed2 = spark.read.parquet(s"$out/packed")
+      .selectExpr("doc_id", "shard", "n_tok", "cum_tok", "seq_id", "seq_offset", "n_seqs")
+      .collect().map(_.toString).sorted
+    packed2 shouldBe packed1
+  }
+
   test("pii_scan and vader_compound are callable from SQL after registration") {
     GraftExtensions.register(spark)
     val rows = spark.sql(

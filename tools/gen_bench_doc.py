@@ -15,9 +15,20 @@
 #   BENCH/bench_32_full.json     CPUS=32 (driver defaults: local[32], 4M turns + full query sweep)
 #
 # Run from the repo root:  python3 tools/gen_bench_doc.py
-import json, os, datetime
+import glob, json, os, re, datetime
 
 root = os.path.join(os.path.dirname(__file__), '..')
+# Round label derived from the committed driver artifacts (BENCH_rNN.json),
+# overridable with GRAFT_ROUND — a hardcoded label went stale every round
+# (r6 verdict nit #3).
+def _round_label():
+    env = os.environ.get('GRAFT_ROUND')
+    if env:
+        return env
+    ns = [int(m.group(1)) for f in glob.glob(os.path.join(root, 'BENCH_r*.json'))
+          for m in [re.search(r'BENCH_r(\d+)\.json$', f)] if m]
+    return str(max(ns)) if ns else '?'
+ROUND = _round_label()
 def load(name):
     p = os.path.join(root, 'BENCH', name)
     if not os.path.exists(p):
@@ -104,9 +115,36 @@ scal_rows = '\n'.join(srow(b, e) for b, e in [(b8, 1)] + ([(b16, 2)] if b16 else
 slowest = sorted(full['queries'].items(), key=lambda kv: -kv[1])[:8]
 slow_rows = '\n'.join(f"| {k} | {v:.2f} |" for k, v in slowest)
 
+# per-query notes for the expensive tail — only the ones present in THIS
+# artifact's slowest-8 are emitted, so the prose cannot drift from the table
+TAIL_NOTES = {
+    'q_curate_pipeline': "q_curate_pipeline composes all 8 filter legs + mix + pack with one nested oracle (the slim keep-list is materialized once per invocation; the legs run once)",
+    'q_curate_pipeline_staged': "q_curate_pipeline_staged is the PRODUCTION shape (parallel-staged leg parquet + join — same oracle; the stage cost is the resumability feature)",
+    'q_quality_model': "q_quality_model runs 4 full perceptron training epochs (broadcast scoring join + two hash aggregations each) plus inference over once-materialized features",
+    'q_train_filter': "q_train_filter re-derives the 8 audited legs declaratively (composition proof)",
+    'q_train_filter_staged': "q_train_filter_staged materializes the 8 legs as parallel parquet stages (resumable production shape)",
+    'q_gopher_blocked': "q_gopher_blocked runs the two-phase blocked window machinery (ghost rows, offset joins) with blocking FORCED ON for every doc — at production thresholds only >=1M-token docs pay it",
+    'q_embed_dup_clusters': "q_embed_dup_clusters runs the large-star/small-star contraction (O(log n) rounds; each round is cheap, the single-shot cost is scheduling)",
+    'q_dedup_keeplist': "q_dedup_keeplist runs exact-hash collapse + the large-star/small-star contraction over the LSH pair graph",
+    'q_c4_span_dedup': "q_c4_span_dedup materializes the kept-page frame once, then one span-keyed shuffle for global first-occurrence",
+    'q_perplexity_trigram': "q_perplexity_trigram trains the 5 broadcast stupid-backoff model tables and scores every trigram position",
+    'q_perplexity_topv': "q_perplexity_topv trains and scores the capped-vocabulary bigram model (all model tables broadcast)",
+    'q_langid_model': "q_langid_model featurizes the corpus twice by design (training pass + inference pass; map-side gram explode)",
+    'q_dup_clusters': "q_dup_clusters runs the large-star/small-star contraction over the LSH candidate-pair graph",
+    'q_embed_neardup_ivf': "q_embed_neardup_ivf assigns the corpus to refined IVF cells and self-joins within cells",
+    'q_c4_clean': "q_c4_clean rebuilds the re-punctuated page view (documents self-join) and runs the line/page rules",
+    'q_decontaminate': "q_decontaminate explodes hashed 13-grams and broadcast-joins the eval gram set",
+    'q_ann_ivf': "q_ann_ivf runs one Lloyd refinement pass (corpus assignment) before the probe",
+    'q_ann_ivf2': "q_ann_ivf2 runs two Lloyd refinement passes (one extra corpus assignment vs q_ann_ivf)",
+    'q_minhash_pairs': "q_minhash_pairs bands minhash signatures and verifies candidates with exact Jaccard",
+    'q_gopher_quality': "q_gopher_quality computes all nine repetition metrics from one fused corpus scan",
+    'q_embed_neardup': "q_embed_neardup self-joins banded LSH buckets and scores candidates once",
+}
+tail_notes = '; '.join(TAIL_NOTES[k] for k, _ in slowest if k in TAIL_NOTES)
+
 passes = lambda b, key: ' '.join(f"{t:.2f}" for t in b[key])
 
-doc = f"""# BENCH — measured baseline (round 6; GENERATED by tools/gen_bench_doc.py from the JSON artifacts — do not hand-edit)
+doc = f"""# BENCH — measured baseline (round {ROUND}; GENERATED by tools/gen_bench_doc.py from the JSON artifacts — do not hand-edit)
 
 Headline metric (BASELINE.json): **turns/sec of the full keep-drop+scrub
 verdict** — clean → skip-guard → PII scan (fused single-pass codegen'd
@@ -235,7 +273,7 @@ are the VADER-valued outputs, pinned by VaderGoldenSpec goldens).
 
 ## Per-query timings (sf0.1, local[32], driver-default protocol)
 
-Round 6: **{qtotal:.1f} s total across {qn} queries**, timed in
+Round {ROUND}: **{qtotal:.1f} s total across {qn} queries**, timed in
 alphabetical order with steal-gated best-of-2 (a query whose first pass
 saw ≥ 0.5% measured steal is re-run once and the minimum kept —
 `queries_rerun` in the artifact lists what re-ran; artifact
@@ -248,20 +286,7 @@ task-scheduling noise floor; warm steady-state is far lower
 |---|---|
 {slow_rows}
 
-Notes on the expensive tail: q_curate_pipeline re-derives all 8 filter
-legs declaratively before mix+pack (the PROOF shape whose one nested
-oracle hashes the whole chain); q_curate_pipeline_staged is the
-PRODUCTION shape (parallel-staged leg parquet + join — same oracle,
-~40% cheaper, and the stage cost is the resumability feature);
-q_quality_model runs 4 full perceptron training epochs (broadcast
-scoring join + two hash aggregations each) plus inference;
-q_train_filter/_staged re-derive or materialize the 8 audited legs
-(composition proofs); q_gopher_blocked runs the two-phase blocked
-window machinery (ghost rows, offset joins) with blocking FORCED ON
-for every doc — at production thresholds only ≥1M-token docs pay it;
-q_embed_dup_clusters / q_dedup_keeplist run the large-star/small-star
-contraction (O(log n) rounds, two shuffles + a convergence probe per
-round — each round is cheap, the single-shot cost is scheduling).
+Notes on the expensive tail (generated per slowest-8 entry): {tail_notes}.
 
 q_ann_ivf2 settled (r5 verdict asked): the r4 2.05 s → r5 3.22 s drift
 was single-shot scheduling noise, not a plan change. Each Lloyd pass
