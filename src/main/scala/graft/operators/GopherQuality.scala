@@ -55,7 +55,8 @@ object GopherQuality {
     * "documents" are multi-GB concatenations, [[qualityBlocked]] (r6)
     * removes the assumption entirely with the
     * [[graft.pipeline.Conversation.runningStateSalted]] block pattern —
-    * row-identical, same oracle. */
+    * row-identical, same oracle — and since r7 [[quality]] dispatches
+    * to it automatically whenever the corpus can contain such a doc. */
   private def toks(docs: DataFrame): DataFrame = {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -117,21 +118,42 @@ object GopherQuality {
     * decision. Docs shorter than an n-gram have no row from that
     * metric's aggregation → fraction 0 (coalesced).
     *
-    * Default = the FUSED single-scan shape ([[qualityFusedLegs]]).
-    * Measured at sf0.1/local[32] (GopherProbe, warm best-of-3): fused
-    * 2.56 s vs per-leg 2.34 s — LOCAL parity, because a page-cached
-    * 100 MB input makes 9 redundant scans free and the per-doc sort
-    * work is identical either way. The fused default is chosen for the
-    * 100 TB shape, where the 9→1 corpus-scan reduction is the dominant
-    * term (object-store re-reads are the cost local measurement cannot
-    * see); the equivalence is spec-asserted, so nothing is traded for
-    * it. `materializeTokens` keeps the recompute-vs-materialize knob on
+    * Default = the FUSED single-scan shape ([[qualityFusedLegs]])
+    * **with an adaptive mega-doc dispatch** (r6 verdict item 2): the
+    * fused shape's per-doc windows serialize WITHIN one document, so a
+    * corpus carrying even one multi-GB "document" would straggle on one
+    * task. A doc of > T whitespace tokens must have ≥ 2T+1 characters,
+    * so one cheap screen — the `n_chars` column when the table carries
+    * it (column-pruned scan, pushed predicate), else `length(text)` —
+    * decides the plan: any candidate mega-doc ⇒ the row-identical
+    * [[qualityBlocked]] at production thresholds (`heavyThreshold`
+    * tokens / `numBlocks` blocks); none ⇒ the fused shape, whose cost
+    * profile is unchanged (measured: probe ≈ 0.1 s at sf0.1 vs ~2 s of
+    * extra bookkeeping had the blocked plan been dispatched blind —
+    * GopherProbe `blockedProd` 4.8 s vs fused 2.7 s warm).
+    *
+    * Fused vs per-leg (GopherProbe, sf0.1/local[32], warm best-of-3):
+    * fused 2.56 s vs per-leg 2.34 s — LOCAL parity, because a
+    * page-cached 100 MB input makes 9 redundant scans free. The fused
+    * default is chosen for the 100 TB shape, where the 9→1 corpus-scan
+    * reduction is the dominant term; the equivalence is spec-asserted.
+    * `materializeTokens` keeps the recompute-vs-materialize knob on
     * the token stream (true localCheckpoints it — infeasible at 100 TB,
     * kept for measurement parity with earlier rounds). */
   def quality(spark: SparkSession, dir: String,
-              materializeTokens: Boolean = false): DataFrame =
-    assemble(Inputs.documents(spark, dir).select("doc_id", "text"),
+              materializeTokens: Boolean = false,
+              numBlocks: Int = 32,
+              heavyThreshold: Long = 1000000L): DataFrame = {
+    val docs = Inputs.documents(spark, dir)
+    val screen =
+      if (docs.columns.contains("n_chars")) col("n_chars")
+      else length(col("text"))
+    val mightBeHeavy =
+      !docs.filter(screen >= lit(2 * heavyThreshold + 1)).isEmpty
+    if (mightBeHeavy) qualityBlocked(spark, dir, numBlocks, heavyThreshold)
+    else assemble(docs.select("doc_id", "text"),
       qualityFusedLegs(spark, dir, materializeTokens))
+  }
 
   /** Per-leg re-derivation: each of the 9 metrics runs its own
     * scan→explode→window chain. This is the PROOF shape (each leg reads

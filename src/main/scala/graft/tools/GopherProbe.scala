@@ -22,6 +22,11 @@ object GopherProbe {
       .write.format("noop").mode("overwrite").save())
     time("perleg", graft.operators.GopherQuality.qualityPerLeg(spark, dir)
       .write.format("noop").mode("overwrite").save())
+    // blocked variant at PRODUCTION thresholds (1M tokens / 32 blocks):
+    // light docs degenerate to blk = 0 — the candidate default dispatch
+    time("blockedProd", graft.operators.GopherQuality
+      .qualityBlocked(spark, dir, numBlocks = 32, heavyThreshold = 1000000L)
+      .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }

@@ -107,6 +107,18 @@ class GopherQualitySpec extends AnyFunSuite with Matchers with SparkTestBase {
     c shouldBe a
   }
 
+  test("quality() auto-dispatches to the blocked plan when a doc can exceed the token bound") {
+    // tiny threshold: every fixture doc passes the n_chars/length screen,
+    // so quality() takes the blocked path — rows must be identical to the
+    // fused default (which the tiny-threshold screen rejects here)
+    val fused = GopherQuality.quality(spark, dir).collect()
+      .sortBy(_.getLong(0)).map(_.toString)
+    val dispatched = GopherQuality.quality(spark, dir,
+        numBlocks = 4, heavyThreshold = 3).collect()
+      .sortBy(_.getLong(0)).map(_.toString)
+    dispatched shouldBe fused
+  }
+
   test("blocked variant on a pathological mega-doc: spans crossing block boundaries merge exactly") {
     import spark.implicits._
     val d = Files.createTempDirectory("gopher_mega_blk").toString
