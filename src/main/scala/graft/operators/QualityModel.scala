@@ -89,6 +89,10 @@ object QualityModel {
     // explode inside the final scoring action. Checkpoint blocks are
     // released by the ContextCleaner once the returned frame dies, the
     // same lifecycle every other operator's localCheckpoint relies on.
+    // (Probed: pre-repartitioning these by doc_id before the checkpoint
+    // does NOT help — Spark 4.1's localCheckpoint scan reports
+    // UnknownPartitioning, so the co-partitioning is invisible to the
+    // epoch plans and the extra shuffle is pure cost.)
     val lab = TextStats.quality(spark, dir)
       .selectExpr("doc_id", "CASE WHEN pass THEN 1L ELSE -1L END AS y")
       .localCheckpoint()
