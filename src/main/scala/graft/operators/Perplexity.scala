@@ -133,13 +133,18 @@ object Perplexity {
         .selectExpr(Seq("doc_id") ++ (0 until n).map(i => s"g.w$i AS w$i"): _*)
       (0 until n).foldLeft(g)((acc, i) => mapped(acc, s"w$i", s"m$i"))
     }
+    // score side: every trigram position of EVERY doc — built first so
+    // the trigram MODEL table can reuse it: filtering pos to the train
+    // split yields exactly grams(trainToks, 3) (same construction, same
+    // mapping joins), which saves one full corpus explode + three
+    // broadcast map joins. The uni/bi tables still need their own gram
+    // frames (a doc's tail tokens appear in no trigram position).
+    val pos = grams(toks, 3)
     // model tables (TRAIN split; each bounded by (V+1)^arity)
     val uniT = trainToks.transform(grams(_, 1)).groupBy("m0").agg(count(lit(1)).as("c"))
     val biT = trainToks.transform(grams(_, 2)).groupBy("m0", "m1").agg(count(lit(1)).as("c"))
-    val triT = trainToks.transform(grams(_, 3)).groupBy("m0", "m1", "m2").agg(count(lit(1)).as("c"))
+    val triT = pos.filter("doc_id % 10 <> 0").groupBy("m0", "m1", "m2").agg(count(lit(1)).as("c"))
     val scal = broadcast(uniT.agg(sum("c").as("n_tok"), count(lit(1)).as("v")))
-    // score side: every trigram position of EVERY doc
-    val pos = grams(toks, 3)
     val scored = pos
       .join(broadcast(triT.select(col("m0"), col("m1"), col("m2"), col("c").as("c3"))),
         Seq("m0", "m1", "m2"), "left")
