@@ -199,26 +199,32 @@ object GopherQuality {
     val docs = Inputs.documents(spark, dir).select("doc_id", "text")
     val t0 = toks(docs)
     val t = if (materializeTokens) t0.localCheckpoint() else t0
-    val allNs = (TopNs ++ DupNs).sorted
-    val maxLead = allNs.max - 1
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    val withLeads = (1 to maxLead).foldLeft(t) {
-      (acc, i) => acc.withColumn(s"l$i", lead("tok", i).over(byPos))
+    // gram stream parameterized per width family (the blocked variant's
+    // r7 split, applied here too): the two consumer branches re-derive
+    // the gram subtree anyway, so the top-n branch computes only 3 lead
+    // columns and explodes 3 widths instead of paying all 9 and
+    // filtering — one sort per doc per branch either way, 2/3 less
+    // explode volume and 6 fewer lead columns on the top branch.
+    def gramFrame(ns: Seq[Int]): DataFrame = {
+      val withLeads = (1 to ns.max - 1).foldLeft(t) {
+        (acc, i) => acc.withColumn(s"l$i", lead("tok", i).over(byPos))
+      }
+      val structs = ns.map { n =>
+        val parts = col("tok") +: (1 until n).map(i => col(s"l$i"))
+        when(col(s"l${n - 1}").isNotNull,
+          struct(lit(n).as("n"), concat_ws(" ", parts: _*).as("gram")))
+      }
+      withLeads
+        .select(col("doc_id"), col("total_chars"), col("pos"), col("char_start"),
+          explode(array(structs: _*)).as("g"))
+        .filter(col("g").isNotNull)
+        .select(col("doc_id"), col("total_chars"), col("pos"), col("char_start"),
+          col("g.n").as("n"), col("g.gram").as("gram"),
+          (col("char_start") + length(col("g.gram"))).as("char_end"))
     }
-    val gramStructs = allNs.map { n =>
-      val parts = col("tok") +: (1 until n).map(i => col(s"l$i"))
-      when(col(s"l${n - 1}").isNotNull,
-        struct(lit(n).as("n"), concat_ws(" ", parts: _*).as("gram")))
-    }
-    val grams = withLeads
-      .select(col("doc_id"), col("total_chars"), col("pos"), col("char_start"),
-        explode(array(gramStructs: _*)).as("g"))
-      .filter(col("g").isNotNull)
-      .select(col("doc_id"), col("total_chars"), col("pos"), col("char_start"),
-        col("g.n").as("n"), col("g.gram").as("gram"),
-        (col("char_start") + length(col("g.gram"))).as("char_end"))
     // top n-gram char fraction, n = 2..4 — rank within (doc, n)
-    val topCounted = grams.filter(col("n").isin(TopNs: _*))
+    val topCounted = gramFrame(TopNs)
       .groupBy("doc_id", "total_chars", "n", "gram")
       .agg(count(lit(1)).as("cnt"))
     val rk = Window.partitionBy("doc_id", "n").orderBy(desc("cnt"), asc("gram"))
@@ -231,7 +237,7 @@ object GopherQuality {
       .select(col("doc_id") +: TopNs.map(n => col(n.toString).as(s"top${n}_frac")): _*)
     // duplicate n-gram span-union char fraction, n = 5..10
     val perGram = Window.partitionBy("doc_id", "n", "gram")
-    val dups = grams.filter(col("n").isin(DupNs: _*))
+    val dups = gramFrame(DupNs)
       .withColumn("cnt", count(lit(1)).over(perGram))
       .filter(col("cnt") > 1)
     val byStart = Window.partitionBy("doc_id", "n").orderBy("char_start", "pos")
