@@ -134,9 +134,14 @@ object Curation {
     mixSampleDocs(Inputs.documents(spark, dir))
 
   /** The computation over any (doc_id, source, text) frame (spec entry). */
-  def mixSampleDocs(docs: DataFrame): DataFrame = {
-    val base = docs
-      .selectExpr("doc_id", "source", "size(split(text, '\\\\s+')) AS n_tok")
+  def mixSampleDocs(docs: DataFrame): DataFrame =
+    mixSampleCounted(docs
+      .selectExpr("doc_id", "source", "size(split(text, '\\\\s+')) AS n_tok"))
+
+  /** The same computation over a pre-counted (doc_id, source, n_tok)
+    * frame — the lightweight proxy the capstone passes so the text
+    * column is tokenized once, not once per consumer (guide §8). */
+  private[operators] def mixSampleCounted(base: DataFrame): DataFrame = {
     val bySrc = base.groupBy("source")
       .agg(sum("n_tok").cast("long").as("src_toks"))
       .selectExpr("source", "src_toks", s"CAST($partsCase AS BIGINT) AS w")
@@ -229,12 +234,17 @@ object Curation {
     seqPackDocs(Inputs.documents(spark, dir))
 
   /** The computation over any (doc_id, text) frame (spec entry). */
-  def seqPackDocs(docs: DataFrame, shards: Int = PackShards): DataFrame = {
+  def seqPackDocs(docs: DataFrame, shards: Int = PackShards): DataFrame =
+    seqPackCounted(docs
+      .selectExpr("doc_id", "size(split(text, '\\\\s+')) AS n_tok"), shards)
+
+  /** The same layout over a pre-counted (doc_id, n_tok) frame. */
+  private[operators] def seqPackCounted(counted: DataFrame,
+                                        shards: Int = PackShards): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .selectExpr("doc_id", s"CAST(doc_id % $shards AS INT) AS shard",
-        "size(split(text, '\\\\s+')) AS n_tok")
+    counted
+      .selectExpr("doc_id", s"CAST(doc_id % $shards AS INT) AS shard", "n_tok")
       .withColumn("cum_tok", sum("n_tok").over(w))
       .selectExpr("doc_id", "shard", "n_tok", "cum_tok",
         s"(cum_tok - n_tok) div $SeqLen AS seq_id",
@@ -270,8 +280,14 @@ object Curation {
     val kept = TrainFilter.trainFilter(spark, dir)
       .filter(col("train_keep")).select("doc_id").localCheckpoint()
     val docs = Inputs.documents(spark, dir).join(kept, "doc_id")
-    val sampled = mixSampleDocs(docs).filter(col("keep")).select("doc_id")
-    seqPackDocs(docs.join(sampled, "doc_id"))
+    // the mixture aggregate, its keep join, and the pack window need
+    // only (doc_id, source, n_tok) — tokenize the kept corpus ONCE into
+    // that ~20-byte proxy instead of re-splitting `text` per consumer
+    val counted = docs
+      .selectExpr("doc_id", "source", "size(split(text, '\\\\s+')) AS n_tok")
+      .localCheckpoint()
+    val sampled = mixSampleCounted(counted).filter(col("keep")).select("doc_id")
+    seqPackCounted(counted.join(sampled, "doc_id").select("doc_id", "n_tok"))
   }
 
   /** Production shape of the capstone (what [[graft.jobs.CurateJob]]
@@ -300,8 +316,13 @@ object Curation {
         .write.mode("overwrite").parquet(keptPath)
     }
     val docs = spark.read.parquet(keptPath)
-    val sampled = mixSampleDocs(docs).filter(col("keep")).select("doc_id")
-    seqPackDocs(docs.join(sampled, "doc_id"), shards)
+    // same counted proxy as the proof shape: the staged parquet's text
+    // column is tokenized once for mixture + packing
+    val counted = docs
+      .selectExpr("doc_id", "source", "size(split(text, '\\\\s+')) AS n_tok")
+      .localCheckpoint()
+    val sampled = mixSampleCounted(counted).filter(col("keep")).select("doc_id")
+    seqPackCounted(counted.join(sampled, "doc_id").select("doc_id", "n_tok"), shards)
   }
 
   def curatePipelineOracle: String =
